@@ -1,0 +1,226 @@
+"""Per-mode orchestration: parse once, align every read, emit GAF.
+
+Mirrors the dispatch structure of reference src/main.rs:25-329, with a
+pluggable compute engine:
+
+- ``engine="oracle"``  scalar NumPy oracle (the spec; slow)
+- ``engine="jax"``     batched JAX/Pallas device kernels (default)
+
+Reference behaviours preserved at this layer:
+
+- bta = b + f * len('$'+read), saturating-cast to usize (main.rs:57);
+- ambiguous-strand retries: modes 0/2 retry on negative score and keep
+  the reverse only when strictly better (main.rs:82-101,188-209);
+  mode 1 keeps the *forward* alignment when its score is lower
+  (main.rs:160-164 — a reference inversion we preserve);
+  mode 3 keeps the reverse when strictly better (main.rs:245-249);
+- GAF numbering: modes 0-3 pass 1-based read indices to the writer,
+  modes 4-9 pass 0-based (main.rs:98-103 vs :260,268,311);
+- modes 6/7 print a CIGAR line then a "Best path sequence i: p" line
+  (pathwise_alignment_gap.rs:572, main.rs:277).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+from ..graph.pathgraph import PathGraph, nodes_displacement_matrix
+from ..graph.poagraph import PoaGraph
+from ..io import fasta, gfa
+from ..io.gaf import GafWriter
+from ..oracle import gaf_emit, pathwise, pathwise_gap, poa, recombination
+from ..scoring import ScoreMatrix
+
+
+@dataclass
+class Options:
+    sequence_path: str
+    graph_path: str
+    out_file: str = "standard output"
+    alignment_mode: int = 0
+    match_score: int = 2
+    mismatch_score: int = 4          # CLI value; negated on use
+    matrix: str = "none"
+    gap_open: int = 4                # CLI value; negated on use
+    gap_extension: int = 2           # CLI value; negated on use
+    multi_rec_cost: float = 0.1
+    base_rec_cost: int = 4
+    rec_band_width: float = 1.0
+    amb_strand: bool = False
+    extra_b: int = 1
+    extra_f: float = 0.01
+    engine: str = "jax"
+
+
+def _bta(opts: Options, seq: str) -> int:
+    v = opts.extra_b + opts.extra_f * len(seq)
+    return int(v) if v > 0 else 0  # Rust f32->usize saturating cast
+
+
+def _poa_align(opts, mode, seq, g, sm, bta, amb_mode, hofp):
+    """One POA alignment (modes 0-3) through the selected engine."""
+    o, e = -opts.gap_open, -opts.gap_extension
+    if opts.engine == "jax":
+        from ..ops import poa_engine
+
+        st = poa_engine.run_single(mode, seq, g, sm, o, e, bta)
+    else:
+        if mode == 0:
+            st = poa.global_banded(seq, g, sm, bta)
+        elif mode == 1:
+            st = poa.local_full(seq, g, sm)
+        elif mode == 2:
+            st = poa.gap_global_banded(seq, g, sm, o, e, bta)
+        else:
+            st = poa.gap_local_full(seq, g, sm, o, e)
+    if mode in (0, 2) and not st.band_check_ok:
+        print(
+            "Band length probably too short, maybe try with larger b and f",
+            file=sys.stderr,
+        )
+    return st
+
+
+def _emit_poa(mode, st, seq, name, amb_mode, hofp):
+    if mode == 0:
+        return gaf_emit.gaf_of_global_abpoa(st, seq, name, amb_mode, hofp)
+    if mode == 1:
+        return gaf_emit.gaf_of_local_poa(st, seq, name, amb_mode, hofp)
+    if mode == 2:
+        return gaf_emit.gaf_of_gap_abpoa(st, seq, name, amb_mode, hofp)
+    return gaf_emit.gaf_of_gap_local_poa(st, seq, name, amb_mode, hofp)
+
+
+def run(opts: Options) -> None:
+    t0 = time.time()
+    sequences, names = fasta.get_sequences(opts.sequence_path)
+    parsed = gfa.parse_gfa(opts.graph_path)
+    sm = ScoreMatrix.create(opts.matrix, opts.match_score, -opts.mismatch_score)
+    writer = GafWriter(opts.out_file)
+    mode = opts.alignment_mode
+
+    if mode in (0, 1, 2, 3):
+        g = PoaGraph.from_gfa(parsed, amb_mode=False)
+        hofp = g.handle_pos
+        g_rev = None
+        hofp_rev = None
+
+        def rev_graph():
+            nonlocal g_rev, hofp_rev
+            if g_rev is None:
+                g_rev = PoaGraph.from_gfa(parsed, amb_mode=True)
+                hofp_rev = g_rev.handle_pos
+            return g_rev, hofp_rev
+
+        if opts.engine == "jax" and len(sequences) > 1:
+            _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph)
+        else:
+            for i, seq in enumerate(sequences):
+                bta = _bta(opts, seq)
+                st = _poa_align(opts, mode, seq, g, sm, bta, False, hofp)
+                record = _emit_poa(mode, st, seq, names[i], False, hofp)
+                if opts.amb_strand and (mode in (1, 3) or st.score < 0):
+                    rg, rhofp = rev_graph()
+                    rseq = fasta.rev_and_compl(seq)
+                    st_r = _poa_align(opts, mode, rseq, rg, sm, bta, True, rhofp)
+                    rec_r = _emit_poa(mode, st_r, rseq, names[i], True, rhofp)
+                    if mode == 1:
+                        # reference inversion preserved (main.rs:160-164)
+                        record = record if st.score < st_r.score else rec_r
+                    else:
+                        record = rec_r if st_r.score > st.score else record
+                writer.write(record.to_string(), i + 1)
+    elif mode in (4, 5):
+        g = PathGraph.from_gfa(parsed, is_reversed=False)
+        if opts.engine == "jax":
+            from ..ops import pathwise_engine
+
+            records = pathwise_engine.run_batch(mode, sequences, g, sm)
+            for i, rec in enumerate(records):
+                rec.query_name = names[i]
+                writer.write(rec.to_string(), i)
+        else:
+            for i, seq in enumerate(sequences):
+                if mode == 4:
+                    rec = pathwise.exec_global(seq, g, sm)
+                else:
+                    rec = pathwise.exec_semiglobal(seq, g, sm)
+                rec.query_name = names[i]
+                writer.write(rec.to_string(), i)
+    elif mode in (6, 7):
+        g = PathGraph.from_gfa(parsed, is_reversed=False)
+        o, e = -opts.gap_open, -opts.gap_extension
+        for i, seq in enumerate(sequences):
+            if mode == 6:
+                best_path, cigar = pathwise_gap.exec_gap_global(seq, g, sm, o, e)
+            else:
+                best_path, cigar = pathwise_gap.exec_gap_semiglobal(seq, g, sm, o, e)
+            print(cigar)
+            print(f"Best path sequence {i}: {best_path}")
+    elif mode in (8, 9):
+        g = PathGraph.from_gfa(parsed, is_reversed=False)
+        rg = g.reverse()
+        dms = nodes_displacement_matrix(g, rg)
+        if opts.engine == "jax":
+            from ..ops import recombination_engine
+
+            records = recombination_engine.run_batch(
+                mode,
+                sequences,
+                g,
+                rg,
+                sm,
+                opts.base_rec_cost,
+                opts.multi_rec_cost,
+                opts.rec_band_width,
+            )
+            for i, rec in enumerate(records):
+                rec.query_name = names[i]
+                writer.write(rec.to_string(), i)
+        else:
+            for i, seq in enumerate(sequences):
+                rec = recombination.exec_mode(
+                    mode,
+                    seq,
+                    g,
+                    rg,
+                    sm,
+                    opts.base_rec_cost,
+                    opts.multi_rec_cost,
+                    dms,
+                    opts.rec_band_width,
+                )
+                rec.query_name = names[i]
+                writer.write(rec.to_string(), i)
+    else:
+        raise SystemExit("Alignment mode must be in [0..9]")
+
+    print(f"Done in {int(time.time() - t0)}.", file=sys.stderr)
+
+
+def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
+    """Batched device path for modes 0-3 (length-bucketed vmap)."""
+    from ..ops import poa_engine
+
+    o, e = -opts.gap_open, -opts.gap_extension
+    btas = [_bta(opts, s) for s in sequences]
+    states = poa_engine.run_batch(mode, sequences, g, sm, o, e, btas)
+    for i, (seq, st) in enumerate(zip(sequences, states)):
+        if mode in (0, 2) and not st.band_check_ok:
+            print(
+                "Band length probably too short, maybe try with larger b and f",
+                file=sys.stderr,
+            )
+        record = _emit_poa(mode, st, seq, names[i], False, g.handle_pos)
+        if opts.amb_strand and (mode in (1, 3) or st.score < 0):
+            rg, rhofp = rev_graph()
+            rseq = fasta.rev_and_compl(seq)
+            st_r = poa_engine.run_single(mode, rseq, rg, sm, o, e, btas[i])
+            rec_r = _emit_poa(mode, st_r, rseq, names[i], True, rhofp)
+            if mode == 1:
+                record = record if st.score < st_r.score else rec_r
+            else:
+                record = rec_r if st_r.score > st.score else record
+        writer.write(record.to_string(), i + 1)
