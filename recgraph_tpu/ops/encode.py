@@ -1,0 +1,129 @@
+"""Host->device graph encodings.
+
+The graph compilers (graph/poagraph.py, graph/pathgraph.py) produce
+Python/NumPy structures; this module lowers them to the dense device
+arrays consumed by the scan kernels, and caches the result on the graph
+object so repeated batches reuse the same device buffers.
+
+Reference mapping (see SURVEY.md §7.2): ``LnzGraph``/``PathGraph``
+(reference: src/graph.rs:23-27, src/pathwise_graph.rs:10-18) become
+flat int32 arrays with -1-padded predecessor lists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.poagraph import PoaGraph
+from ..graph.pathgraph import PathGraph, pathwise_meta
+
+
+@dataclass(frozen=True)
+class PoaDeviceGraph:
+    """Dense arrays for the POA kernels (modes 0-3)."""
+
+    codes: jnp.ndarray       # int32[n]   lnz base codes
+    node_start: jnp.ndarray  # bool[n]
+    pred_idx: jnp.ndarray    # int32[n, Pm]  predecessor end positions, -1 pad
+    pred_mask: jnp.ndarray   # bool[n, Pm]
+    min_pred: jnp.ndarray    # int32[n]   fallback predecessor (min pred / i-1)
+    r_values: jnp.ndarray    # int32[n]   distance-to-sink (utils.rs:103-126)
+    sink_rows: tuple[int, ...]  # F's predecessor end positions, ascending
+    n: int
+    max_preds: int
+
+
+jax.tree_util.register_dataclass(
+    PoaDeviceGraph,
+    data_fields=["codes", "node_start", "pred_idx", "pred_mask", "min_pred", "r_values"],
+    meta_fields=["sink_rows", "n", "max_preds"],
+)
+
+
+def poa_device_graph(g: PoaGraph) -> PoaDeviceGraph:
+    cached = g.__dict__.get("_device_graph")
+    if cached is not None:
+        return cached
+    idx, mask = g.padded_preds()
+    n = g.n
+    min_pred = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        min_pred[i] = g.min_pred(i)
+    dg = PoaDeviceGraph(
+        codes=jnp.asarray(g.codes, dtype=jnp.int32),
+        node_start=jnp.asarray(g.node_start),
+        pred_idx=jnp.asarray(idx, dtype=jnp.int32),
+        pred_mask=jnp.asarray(mask),
+        min_pred=jnp.asarray(min_pred),
+        r_values=jnp.asarray(g.r_values(), dtype=jnp.int32),
+        sink_rows=tuple(int(p) for p in g.preds[n - 1]),
+        n=n,
+        max_preds=idx.shape[1],
+    )
+    g.__dict__["_device_graph"] = dg
+    return dg
+
+
+@dataclass(frozen=True)
+class PathDeviceGraph:
+    """Dense arrays for the pathwise kernels (modes 4-9).
+
+    ``rep_of``/``pred_of`` materialise the reference's alpha/delta group
+    semantics (see graph.pathgraph.pathwise_meta): at row i every path p
+    moves in the direction chosen by its group representative
+    ``rep_of[i, p]`` reading from predecessor row ``pred_of[i, p]``.
+    """
+
+    codes: jnp.ndarray       # int32[n]
+    node_start: jnp.ndarray  # bool[n]
+    paths_on: jnp.ndarray    # bool[n, P]
+    alphas: jnp.ndarray      # int32[n]
+    rep_of: jnp.ndarray      # int32[n, P] (-1 off-path)
+    pred_of: jnp.ndarray     # int32[n, P] (-1 off-path)
+    n: int
+    paths_number: int
+
+
+jax.tree_util.register_dataclass(
+    PathDeviceGraph,
+    data_fields=["codes", "node_start", "paths_on", "alphas", "rep_of", "pred_of"],
+    meta_fields=["n", "paths_number"],
+)
+
+
+def path_device_graph(g: PathGraph) -> PathDeviceGraph:
+    cached = g.__dict__.get("_device_graph")
+    if cached is not None:
+        return cached
+    rep_of, pred_of = pathwise_meta(g)
+    dg = PathDeviceGraph(
+        codes=jnp.asarray(g.codes, dtype=jnp.int32),
+        node_start=jnp.asarray(g.node_start),
+        paths_on=jnp.asarray(g.paths_nodes),
+        alphas=jnp.asarray(g.alphas, dtype=jnp.int32),
+        rep_of=jnp.asarray(rep_of),
+        pred_of=jnp.asarray(pred_of),
+        n=g.n,
+        paths_number=g.paths_number,
+    )
+    g.__dict__["_device_graph"] = dg
+    return dg
+
+
+def encode_reads(sequences: list[str], pad_to: int | None = None):
+    """Pad '$'-prefixed reads into (codes int32[B, Lp], lengths int32[B]).
+
+    Padding uses the 'N' code; all kernels mask to the per-read length.
+    """
+    from .. import scoring
+
+    lengths = np.array([len(s) for s in sequences], dtype=np.int32)
+    Lp = int(lengths.max()) if pad_to is None else pad_to
+    out = np.full((len(sequences), Lp), scoring.N, dtype=np.int32)
+    for b, s in enumerate(sequences):
+        out[b, : len(s)] = scoring.encode(s)
+    return jnp.asarray(out), jnp.asarray(lengths)

@@ -1,0 +1,389 @@
+"""Batched device kernels for POA modes 0-3.
+
+TPU-first re-design of the reference's per-read scalar/AVX2 DP
+(reference: src/global_abpoa.rs, src/local_poa.rs, src/gap_global_abpoa.rs,
+src/gap_local_poa.rs): one `lax.scan` over graph rows, each step filling
+an entire [batch, read] plane.  The in-row "left" dependency — which the
+reference's AVX2 kernels resolve with a scalar fix-up sweep
+(global_abpoa.rs:156-165) — is instead solved in closed form:
+
+    m[j] = max(A[j], m[j-1] + gap)
+         = G[j] + cummax_{k<=j}(A[k] - G[k]),   G = cumsum(gap)
+
+a (max,+) prefix scan that vectorises across the whole row (and, for
+the affine modes, a 2-state (max,+) associative scan).  Directions and
+predecessors are then re-derived from the final row values with exactly
+the reference's tie order and packed 4 bits/cell next to a predecessor
+index, so host traceback reproduces the reference GAF bit-for-bit.
+
+All kernels are batch-first: every tensor carries a leading read-batch
+axis, which is the data-parallel axis sharded across chips (see
+recgraph_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..oracle.poa import PoaState, _band_ampl_enough, _gap_band_ampl_enough
+from ..scoring import GAP
+from .encode import poa_device_graph, encode_reads
+
+NEG = -(1 << 28)  # -inf stand-in that survives a few additions in int32
+
+# direction codes: match reference bitfield_path.rs:3-15 plus the
+# reference's out-of-range 'u' (gap_global_abpoa.rs:154, a preserved quirk)
+_DIRS = "ODdLUXYMu"
+O, D, LOW_D, L_DIR, U_DIR, X_DIR, Y_DIR, M_DIR, LOW_U = range(9)
+
+
+# ---------------------------------------------------------------------------
+# packed-path host views (PoaState adapter)
+# ---------------------------------------------------------------------------
+
+
+class _PackedRow:
+    __slots__ = ("row", "left")
+
+    def __init__(self, row, left):
+        self.row = row
+        self.left = left
+
+    def __getitem__(self, j):
+        v = int(self.row[j + self.left])
+        return (v >> 4, _DIRS[v & 15])
+
+
+class _PackedPath:
+    """Band-relative (pred, dir) view over a packed int32[n, Lp] plane."""
+
+    __slots__ = ("packed", "lefts")
+
+    def __init__(self, packed, lefts):
+        self.packed = packed
+        self.lefts = lefts
+
+    def __getitem__(self, i):
+        return _PackedRow(self.packed[i], int(self.lefts[i]))
+
+
+def _state_from_device(
+    score, last_row, last_col_abs, packed, lefts, rights, seq_len, band_check=None
+) -> PoaState:
+    ampl = np.stack([lefts, rights], axis=1)
+    path = _PackedPath(packed, lefts)
+    st = PoaState(
+        score=int(score),
+        m=None,
+        path=path,
+        ampl=ampl,
+        last_row=int(last_row),
+        last_col=int(last_col_abs) - int(lefts[int(last_row)]),
+    )
+    if band_check == "linear":
+        st.band_check_ok = _band_ampl_enough(path, ampl, seq_len, st.last_row, st.last_col)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# mode 0 — global POA, linear gap, adaptive band (global_abpoa.rs:260-427)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _fill_global(dg: "PoaDeviceGraph", table, seq, L, bta):
+    """Banded global POA fill for a whole read batch.
+
+    seq: int32[B, Lp] ('$'-prefixed, N-padded); L, bta: int32[B].
+    Returns (score[B], last_row[B], last_col_abs[B],
+             packed int32[B, n, Lp], lefts int32[B, n], rights int32[B, n]).
+    """
+    n, Pm = dg.n, dg.max_preds
+    B, Lp = seq.shape
+    jcol = jnp.arange(Lp, dtype=jnp.int32)
+    gseq = table[seq, GAP]          # [B, Lp]  sm(seq[j], '-')
+    gcol0 = table[GAP, seq]         # [B, Lp]  sm('-', seq[j]) (row 0)
+
+    def step(carry, xs):
+        m, lefts, rights, bsp = carry
+        i, code_i, pidx, pmask, minp, r_i = xs
+        pidx_safe = jnp.maximum(pidx, 0)
+        gnode_i = table[code_i, GAP]
+        subrow_i = table[code_i][seq]
+
+        # --- adaptive band (utils.rs:17-72 via graph.set_ampl_for_row) ---
+        pred_bsp = bsp[:, pidx_safe]                       # [B, Pm]
+        ms = jnp.min(jnp.where(pmask, pred_bsp, 1 << 28), axis=1) + 1
+        me = jnp.max(jnp.where(pmask, pred_bsp, NEG), axis=1) + 1
+        ms = jnp.where(i == 0, 0, ms)
+        me = jnp.where(i == 0, 0, me)
+        left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
+        right = jnp.where(
+            L > r_i,
+            jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
+            jnp.minimum(L, me + bta),
+        )
+        in_band = (left[:, None] <= jcol) & (jcol < right[:, None])  # [B, Lp]
+
+        # --- gather predecessor rows ---
+        mp = m[:, pidx_safe, :]                            # [B, Pm, Lp]
+        leftp = lefts[:, pidx_safe]                        # [B, Pm]
+        rightp = rights[:, pidx_safe]
+
+        # U candidates: preds whose band covers j (global_abpoa.rs:528-566)
+        u_cov = pmask[None, :, None] & (leftp[..., None] <= jcol) & (
+            jcol < rightp[..., None]
+        )
+        u_vals = jnp.where(u_cov, mp, NEG)
+        u_best = u_vals.max(axis=1)
+        u_pred = pidx_safe[u_vals.argmax(axis=1)]          # first best, asc order
+        has_u = u_best > NEG // 2
+        u_val = jnp.where(has_u, u_best + gnode_i, gnode_i * (i + jcol))
+        u_pred = jnp.where(has_u, u_pred, minp)
+
+        # D candidates: preds whose band covers j-1 shifted (":486-526")
+        mp_sh = jnp.roll(mp, 1, axis=2).at[:, :, 0].set(NEG)
+        d_cov = pmask[None, :, None] & (leftp[..., None] < jcol) & (
+            jcol <= rightp[..., None]
+        )
+        d_vals = jnp.where(d_cov, mp_sh, NEG)
+        d_best = d_vals.max(axis=1)
+        d_pred = pidx_safe[d_vals.argmax(axis=1)]
+        has_d = d_best > NEG // 2
+        d_fb = (gnode_i * (i + left))[:, None]             # ":117" row constant
+        d_val = jnp.where(has_d, d_best + subrow_i, d_fb)
+        d_pred = jnp.where(has_d, d_pred, minp)
+
+        # --- chain restart values A and the (max,+) prefix scan ---
+        A = jnp.maximum(d_val, u_val)
+        gseq_left = jnp.take_along_axis(gseq, left[:, None], axis=1)[:, 0]
+        l_fb = gseq_left * (i + left)                      # ":85" j==0, left>0
+        # j==0 && left==0 base case (":74-77"): m[min_pred][0] + gap
+        m_minp = m[:, minp, :]                             # [B, Lp]
+        lefts_minp = lefts[:, minp]
+        base0 = (
+            jnp.take_along_axis(m_minp, lefts_minp[:, None], axis=1)[:, 0] + gnode_i
+        )
+        is_left = jcol[None, :] == left[:, None]
+        A_left = jnp.where(
+            left == 0,
+            base0,
+            jnp.maximum(jnp.take_along_axis(A, left[:, None], 1)[:, 0], l_fb),
+        )
+        A_left = jnp.where(i == 0, 0, A_left)
+        A = jnp.where(is_left, A_left[:, None], A)
+        A = jnp.where(i == 0, jnp.where(jcol == 0, 0, NEG)[None, :], A)
+        A = jnp.where(in_band, A, NEG)
+
+        grow = jnp.where(i == 0, gcol0, gseq)
+        G = jnp.cumsum(grow, axis=1)
+        m_row = G + jax.lax.cummax(A - G, axis=1)
+        m_row = jnp.where(in_band, m_row, NEG)
+
+        # --- rightmost in-band argmax => best_scoring_pos (":129-130") ---
+        masked = jnp.where(in_band, m_row, NEG)
+        bsp_i = Lp - 1 - jnp.argmax(masked[:, ::-1], axis=1).astype(jnp.int32)
+
+        # --- directions (utils.rs:129-140 tie order D >= U >= L) ---
+        m_prev = jnp.roll(m_row, 1, axis=1).at[:, 0].set(NEG)
+        l_val = m_prev + gseq
+        l_val = jnp.where(is_left, jnp.where((left == 0)[:, None], NEG, l_fb[:, None]), l_val)
+        l_pred = jnp.where(jcol[None, :] > left[:, None], i, minp)
+        d_ge_u = d_val >= u_val
+        dirD = d_ge_u & (d_val >= l_val)
+        dirU = (~d_ge_u) & (u_val >= l_val)
+        match = seq == code_i
+        dcode = jnp.where(
+            dirD, jnp.where(match, D, LOW_D), jnp.where(dirU, U_DIR, L_DIR)
+        )
+        pred_sel = jnp.where(dirD, d_pred, jnp.where(dirU, u_pred, l_pred))
+        # base cases override
+        is_base = is_left & (left == 0)[:, None] & (i > 0)
+        dcode = jnp.where(is_base, U_DIR, dcode)
+        pred_sel = jnp.where(is_base, minp, pred_sel)
+        dcode = jnp.where(i == 0, jnp.where(jcol == 0, O, L_DIR)[None, :], dcode)
+        pred_sel = jnp.where(i == 0, 0, pred_sel)
+        packed = jnp.where(in_band, pred_sel * 16 + dcode, 0)
+
+        m = jax.lax.dynamic_update_slice(m, m_row[:, None, :], (0, i, 0))
+        lefts = jax.lax.dynamic_update_slice(lefts, left[:, None], (0, i))
+        rights = jax.lax.dynamic_update_slice(rights, right[:, None], (0, i))
+        bsp = jax.lax.dynamic_update_slice(bsp, bsp_i[:, None], (0, i))
+        return (m, lefts, rights, bsp), packed
+
+    m0 = jnp.zeros((B, n, Lp), dtype=jnp.int32)
+    z = jnp.zeros((B, n), dtype=jnp.int32)
+    rows = jnp.arange(n - 1, dtype=jnp.int32)
+    xs = (
+        rows,
+        dg.codes[:-1],
+        dg.pred_idx[:-1],
+        dg.pred_mask[:-1],
+        dg.min_pred[:-1],
+        dg.r_values[:-1],
+    )
+    (m, lefts, rights, _), packed = jax.lax.scan(step, (m0, z, z, z), xs)
+    packed = jnp.concatenate(
+        [jnp.moveaxis(packed, 0, 1), jnp.zeros((B, 1, Lp), jnp.int32)], axis=1
+    )
+
+    # final cell: best over F's preds, first strict max, row n-2 seeded
+    # (global_abpoa.rs:397-405)
+    cand = jnp.asarray((n - 2,) + dg.sink_rows, dtype=jnp.int32)
+    cand_right = rights[:, cand]                           # [B, S+1]
+    mcand = m[:, cand, :]
+    vals = jnp.take_along_axis(mcand, (cand_right - 1)[..., None], axis=2)[..., 0]
+    bidx = jnp.argmax(vals, axis=1)
+    last_row = cand[bidx]
+    score = jnp.take_along_axis(vals, bidx[:, None], 1)[:, 0]
+    last_col_abs = jnp.take_along_axis(cand_right, bidx[:, None], 1)[:, 0] - 1
+    return score, last_row, last_col_abs, packed, lefts, rights
+
+
+# ---------------------------------------------------------------------------
+# mode 1 — local POA, full matrix (local_poa.rs:181-255)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
+    n, Pm = dg.n, dg.max_preds
+    B, Lp = seq.shape
+    jcol = jnp.arange(Lp, dtype=jnp.int32)
+    gseq = table[seq, GAP]
+    valid = jcol[None, :] < L[:, None]
+
+    def step(carry, xs):
+        m, best_val, best_i, best_j = carry
+        i, code_i, is_start, pidx, pmask = xs
+        pidx_safe = jnp.maximum(pidx, 0)
+        gnode_i = table[code_i, GAP]
+        subrow_i = table[code_i][seq]
+        mp = m[:, pidx_safe, :]                            # [B, Pm, Lp]
+        mvals = jnp.where(pmask[None, :, None], mp, NEG)
+        mp_sh = jnp.roll(mvals, 1, axis=2).at[:, :, 0].set(NEG)
+
+        # first-best quirk: running max starts at 0/index(row)0
+        # (local_poa.rs:257-293)
+        d_pre = mp_sh.max(axis=1)
+        d_arg = pidx_safe[mp_sh.argmax(axis=1)]
+        d_val = jnp.where(is_start, jnp.maximum(d_pre, 0), d_pre) + subrow_i
+        d_idx = jnp.where(is_start, jnp.where(d_pre > 0, d_arg, 0), i - 1)
+        u_pre = mvals.max(axis=1)
+        u_arg = pidx_safe[mvals.argmax(axis=1)]
+        u_val = jnp.where(is_start, jnp.maximum(u_pre, 0), u_pre) + gnode_i
+        u_idx = jnp.where(is_start, jnp.where(u_pre > 0, u_arg, 0), i - 1)
+
+        A = jnp.maximum(jnp.maximum(d_val, u_val), 0)
+        A = jnp.where(jcol == 0, 0, A)
+        A = jnp.where((i == 0) & (jcol > 0)[None, :], 0, A)
+        G = jnp.cumsum(gseq, axis=1)
+        m_row = G + jax.lax.cummax(A - G, axis=1)
+        m_row = jnp.where(valid, m_row, NEG)
+        m_row = jnp.where(i == 0, jnp.zeros_like(m_row), m_row)
+        m_row = jnp.where(jcol == 0, 0, m_row)
+
+        # directions (zero floor local_poa.rs:222-233)
+        m_prev = jnp.roll(m_row, 1, axis=1).at[:, 0].set(NEG)
+        l_val = m_prev + gseq
+        all_neg = (d_val < 0) & (u_val < 0) & (l_val < 0)
+        d_ge_u = d_val >= u_val
+        dirD = d_ge_u & (d_val >= l_val)
+        dirU = (~d_ge_u) & (u_val >= l_val)
+        match = seq == code_i
+        dcode = jnp.where(
+            dirD, jnp.where(match, D, LOW_D), jnp.where(dirU, U_DIR, L_DIR)
+        )
+        pred_sel = jnp.where(dirD, d_idx, jnp.where(dirU, u_idx, i))
+        dcode = jnp.where(all_neg, O, dcode)
+        pred_sel = jnp.where(all_neg, 0, pred_sel)
+        border = (i == 0) | (jcol == 0)[None, :] | ~valid
+        dcode = jnp.where(border, O, dcode)
+        pred_sel = jnp.where(border, 0, pred_sel)
+        packed = pred_sel * 16 + dcode
+
+        # global best, strict > in row-major scan order (local_poa.rs:240-244)
+        row_masked = jnp.where(valid, m_row, NEG)
+        rmax = row_masked.max(axis=1)
+        rarg = row_masked.argmax(axis=1).astype(jnp.int32)
+        upd = rmax > best_val
+        best_val = jnp.where(upd, rmax, best_val)
+        best_i = jnp.where(upd, i, best_i)
+        best_j = jnp.where(upd, rarg, best_j)
+
+        m = jax.lax.dynamic_update_slice(m, m_row[:, None, :], (0, i, 0))
+        return (m, best_val, best_i, best_j), packed
+
+    m0 = jnp.zeros((B, n, Lp), dtype=jnp.int32)
+    zb = jnp.zeros((B,), dtype=jnp.int32)
+    rows = jnp.arange(n - 1, dtype=jnp.int32)
+    xs = (
+        rows,
+        dg.codes[:-1],
+        dg.node_start[:-1],
+        dg.pred_idx[:-1],
+        dg.pred_mask[:-1],
+    )
+    (m, best_val, best_i, best_j), packed = jax.lax.scan(
+        step, (m0, zb, zb, zb), xs
+    )
+    packed = jnp.concatenate(
+        [jnp.moveaxis(packed, 0, 1), jnp.zeros((B, 1, Lp), jnp.int32)], axis=1
+    )
+    return best_val, best_i, best_j, packed
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
+    dg = poa_device_graph(g)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(sequences)
+    B = len(sequences)
+    if mode == 0:
+        bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
+        score, last_row, last_col, packed, lefts, rights = _fill_global(
+            dg, table, seq, L, bta
+        )
+        score, last_row, last_col, packed, lefts, rights = jax.device_get(
+            (score, last_row, last_col, packed, lefts, rights)
+        )
+        return [
+            _state_from_device(
+                score[b], last_row[b], last_col[b], packed[b], lefts[b], rights[b],
+                len(sequences[b]), band_check="linear",
+            )
+            for b in range(B)
+        ]
+    if mode == 1:
+        score, best_i, best_j, packed = _fill_local(dg, table, seq, L)
+        score, best_i, best_j, packed = jax.device_get(
+            (score, best_i, best_j, packed)
+        )
+        states = []
+        for b in range(B):
+            lb = len(sequences[b])
+            lefts = np.zeros(dg.n, dtype=np.int32)
+            rights = np.full(dg.n, lb, dtype=np.int32)
+            states.append(
+                _state_from_device(
+                    score[b], best_i[b], best_j[b], packed[b], lefts, rights, lb
+                )
+            )
+        return states
+    if mode in (2, 3):
+        from . import poa_gap_engine
+
+        return poa_gap_engine.run_batch(mode, sequences, g, sm, o, e, btas)
+    raise ValueError(f"unsupported POA mode {mode}")
+
+
+def run_single(mode, seq, g, sm, o, e, bta) -> PoaState:
+    return run_batch(mode, [seq], g, sm, o, e, [bta])[0]
