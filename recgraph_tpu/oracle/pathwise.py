@@ -314,12 +314,17 @@ def build_alignment(
     best_path: int,
     ending_node: int,
     global_align: bool,
+    plane: np.ndarray | None = None,
 ) -> GafRecord:
     """Traceback by d/u/l recomputation over the delta-form matrix.
 
     Mirrors build_alignment (pathwise_alignment_output.rs:7-184),
     including the D >= U >= L effective tie order of the `max == d`
     cascade and the trailing-L / leading-U (global) tails.
+
+    ``plane`` (int[n, L]) is the dense *absolute* best-path score plane
+    produced by the device kernels; when given it replaces the
+    delta-form lookups (``dpm`` may then be None).
     """
     lnz = g.lnz
     alphas = g.alphas
@@ -328,19 +333,26 @@ def build_alignment(
     cigar: list[str] = []
     path_length = 0
     i = ending_node
-    j = dpm.shape[1] - 1
+    j = (dpm.shape[1] if plane is None else plane.shape[1]) - 1
     handle_id_alignment: list[int] = []
     path_sequence: list[str] = []
 
-    if best_path == alphas[i]:
-        score = int(dpm[i, j, best_path])
-    else:
-        score = int(dpm[i, j, best_path] + dpm[i, j, alphas[i]])
+    if plane is not None:
+        score = int(plane[i, j])
 
-    def abs_at(ii: int, jj: int) -> int:
-        if alphas[ii] == best_path:
-            return int(dpm[ii, jj, best_path])
-        return int(dpm[ii, jj, best_path] + dpm[ii, jj, alphas[ii]])
+        def abs_at(ii: int, jj: int) -> int:
+            return int(plane[ii, jj])
+
+    else:
+        if best_path == alphas[i]:
+            score = int(dpm[i, j, best_path])
+        else:
+            score = int(dpm[i, j, best_path] + dpm[i, j, alphas[i]])
+
+        def abs_at(ii: int, jj: int) -> int:
+            if alphas[ii] == best_path:
+                return int(dpm[ii, jj, best_path])
+            return int(dpm[ii, jj, best_path] + dpm[ii, jj, alphas[ii]])
 
     while i > 0 and j > 0:
         predecessor = None
