@@ -1,0 +1,77 @@
+"""Benchmark: DP cells/s of the device engines on the example corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Gcells/s", "vs_baseline": N}
+
+Baseline: the reference's AVX2 local-POA kernel (local_poa.rs:9-179) is
+an 8-lane f32 row DP on one CPU core; no published numbers exist
+(BASELINE.md), so we use 1.0 Gcells/s as a generous estimate of its
+throughput — vs_baseline is therefore cells/s in that unit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_GCELLS = 1.0  # estimated Rust AVX2 single-core local-POA Gcells/s
+
+
+def main(batch: int = 256, iters: int = 5) -> None:
+    from recgraph_tpu.graph.poagraph import PoaGraph
+    from recgraph_tpu.io import fasta, gfa
+    from recgraph_tpu.ops import poa_engine
+    from recgraph_tpu.ops.encode import encode_reads, poa_device_graph
+    from recgraph_tpu.scoring import ScoreMatrix
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    seqs, _ = fasta.get_sequences(os.path.join(root, "example", "reads.fa"))
+    parsed = gfa.parse_gfa(os.path.join(root, "example", "graph.gfa"))
+    g = PoaGraph.from_gfa(parsed)
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+
+    reads = (seqs * ((batch // len(seqs)) + 1))[:batch]
+    seq, L = encode_reads(reads)
+    Lp = seq.shape[1]
+    cells = batch * (dg.n - 1) * Lp
+
+    out = poa_engine._fill_local(dg, table, seq, L)
+    jax.block_until_ready(out)                      # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = poa_engine._fill_local(dg, table, seq, L)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    gcells = cells / dt / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "local_poa_dp_throughput",
+                "value": round(gcells, 3),
+                "unit": "Gcells/s",
+                "vs_baseline": round(gcells / BASELINE_GCELLS, 3),
+            }
+        )
+    )
+    print(
+        f"# batch={batch} n={dg.n} Lp={Lp} dt={dt*1e3:.1f}ms "
+        f"reads/s={batch/dt:.0f} device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main(
+        batch=int(sys.argv[1]) if len(sys.argv) > 1 else 2048,
+        iters=int(sys.argv[2]) if len(sys.argv) > 2 else 5,
+    )
