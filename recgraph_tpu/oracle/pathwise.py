@@ -422,11 +422,12 @@ def build_alignment(
         f"{build_cigar(cigar)}, best path: {best_path}, score: {score}"
         f"\t{path_string_sequence}"
     )
+    L = dpm.shape[1] if plane is None else plane.shape[1]
     return GafRecord(
         query_name="Temp",
-        query_length=dpm.shape[1] - 1,
+        query_length=L - 1,
         query_start=0,
-        query_end=dpm.shape[1] - 2,
+        query_end=L - 2,
         strand="+",
         path=handle_dedup,
         path_length=path_len,
