@@ -261,3 +261,49 @@ def pathwise_meta(g: PathGraph) -> tuple[np.ndarray, np.ndarray]:
                 rep_of[i, common] = rep
                 pred_of[i, common] = p
     return rep_of, pred_of
+
+
+def pathwise_meta_rev(rg: PathGraph) -> tuple[np.ndarray, np.ndarray]:
+    """Reverse-fill group metadata; mirrors rev_align's branch structure
+    (pathwise_alignment_recombination.rs:129-435) over the reverse graph
+    (successor edges).  ``pred_of`` here points *forward* (successor
+    rows; i+1 for rows that are not node ends).
+
+    Raises if the graph hits the reference's delta-leak edge cases
+    (unmarked node-end rows whose path set differs from row i+1, or
+    paths uncovered by any successor edge) — those graphs fall back to
+    the scalar oracle.
+    """
+    n, P = rg.n, rg.paths_number
+    rep_of = np.full((n, P), -1, dtype=np.int32)
+    pred_of = np.full((n, P), -1, dtype=np.int32)
+    for i in range(1, n - 1):
+        on = rg.paths_nodes[i]
+        if not rg.node_start[i]:
+            if not np.array_equal(on, rg.paths_nodes[i + 1]):
+                raise NotImplementedError(
+                    "reverse fill: unmarked node-end row with differing path set"
+                )
+            rep_of[i, on] = rg.alphas[i]
+            pred_of[i, on] = i + 1
+        else:
+            covered = np.zeros(P, dtype=bool)
+            for p, edge_paths in rg.preds_and_paths(i):
+                common = on & edge_paths
+                if not common.any():
+                    continue
+                ap = rg.alphas[p]
+                if ap < P and common[ap]:
+                    rep = ap
+                elif common[rg.alphas[i]]:
+                    rep = rg.alphas[i]
+                else:
+                    rep = int(np.flatnonzero(common)[0])
+                rep_of[i, common] = rep
+                pred_of[i, common] = p
+                covered |= common
+            if (on & ~covered).any():
+                raise NotImplementedError(
+                    "reverse fill: path uncovered by successor edges (ghost row)"
+                )
+    return rep_of, pred_of

@@ -372,7 +372,11 @@ def _trace_forward(
 
     Shared body of the four emitters (recombination_output.rs:108-163,
     :259-315, :480-536, :659-715); dpm is absolute so no alpha terms.
+    ``dpm`` may be the full [n, L, P] absolute matrix or a 2-D [n, L]
+    plane already sliced at ``best_path`` (device path).
     """
+    if dpm.ndim == 3:
+        dpm = dpm[:, :, best_path]
     lnz = g.lnz
     nwp = g.node_start
     ids = g.nodes_id_pos
@@ -384,17 +388,17 @@ def _trace_forward(
     while i > 0 and j > 0:
         predecessor = None
         if not nwp[i]:
-            d = int(dpm[i - 1, j - 1, best_path]) + sm.get(lnz[i], seq[j])
-            u = int(dpm[i - 1, j, best_path]) + sm.get(lnz[i], "-")
-            l = int(dpm[i, j - 1, best_path]) + sm.get("-", seq[j])
+            d = int(dpm[i - 1, j - 1]) + sm.get(lnz[i], seq[j])
+            u = int(dpm[i - 1, j]) + sm.get(lnz[i], "-")
+            l = int(dpm[i, j - 1]) + sm.get("-", seq[j])
         else:
             d = u = l = 0
             for pred, paths in g.preds_and_paths(i):
                 if paths[best_path]:
                     predecessor = pred
-                    d = int(dpm[pred, j - 1, best_path]) + sm.get(lnz[i], seq[j])
-                    u = int(dpm[pred, j, best_path]) + sm.get(lnz[i], "-")
-                    l = int(dpm[i, j - 1, best_path]) + sm.get("-", seq[j])
+                    d = int(dpm[pred, j - 1]) + sm.get(lnz[i], seq[j])
+                    u = int(dpm[pred, j]) + sm.get(lnz[i], "-")
+                    l = int(dpm[i, j - 1]) + sm.get("-", seq[j])
         mx = max(d, u, l)
         if mx == d:
             cigar.append("D" if lnz[i] == seq[j] else "d")
@@ -449,8 +453,11 @@ def _trace_reverse(
 ):
     """Reverse-matrix traceback from the split point towards the sinks.
 
-    Mirrors recombination_output.rs:39-98 / :389-449.
+    Mirrors recombination_output.rs:39-98 / :389-449.  ``rev_dpm`` may
+    be 3-D absolute or a 2-D plane sliced at ``rev_best_path``.
     """
+    if rev_dpm.ndim == 3:
+        rev_dpm = rev_dpm[:, :, rev_best_path]
     lnz = g.lnz
     ids = g.nodes_id_pos
     n, L = rev_dpm.shape[0], rev_dpm.shape[1]
@@ -464,19 +471,17 @@ def _trace_reverse(
     while 0 < i < n - 1 and j < L - 1:
         predecessor = None
         if not rg.node_start[i]:
-            d = int(rev_dpm[i + 1, j + 1, rev_best_path]) + sm.get(lnz[i], r_seq[j])
-            u = int(rev_dpm[i + 1, j, rev_best_path]) + sm.get(lnz[i], "-")
-            l = int(rev_dpm[i, j + 1, rev_best_path]) + sm.get("-", r_seq[j])
+            d = int(rev_dpm[i + 1, j + 1]) + sm.get(lnz[i], r_seq[j])
+            u = int(rev_dpm[i + 1, j]) + sm.get(lnz[i], "-")
+            l = int(rev_dpm[i, j + 1]) + sm.get("-", r_seq[j])
         else:
             d = u = l = 0
             for pred, paths in rg.preds_and_paths(i):
                 if paths[rev_best_path]:
                     predecessor = pred
-                    d = int(rev_dpm[pred, j + 1, rev_best_path]) + sm.get(
-                        lnz[i], r_seq[j]
-                    )
-                    u = int(rev_dpm[pred, j, rev_best_path]) + sm.get(lnz[i], "-")
-                    l = int(rev_dpm[i, j + 1, rev_best_path]) + sm.get("-", r_seq[j])
+                    d = int(rev_dpm[pred, j + 1]) + sm.get(lnz[i], r_seq[j])
+                    u = int(rev_dpm[pred, j]) + sm.get(lnz[i], "-")
+                    l = int(rev_dpm[i, j + 1]) + sm.get("-", r_seq[j])
         mx = max(d, u, l)
         rev_ending_node = i
         if mx == d:
@@ -558,8 +563,10 @@ def _gaf_no_rec(
     global_tail: bool,
 ) -> GafRecord:
     """gaf_output_{global,semiglobal}_no_rec (recombination_output.rs:239-361,633-782)."""
+    if dpm.ndim == 3:
+        dpm = dpm[:, :, best_path]
     L = dpm.shape[1]
-    score = int(dpm[end_node, L - 1, best_path])
+    score = int(dpm[end_node, L - 1])
     i, cigar, handles, path_seq, path_length = _trace_forward(
         dpm, g, seq, sm, best_path, end_node, L - 1
     )
@@ -615,6 +622,10 @@ def _gaf_rec(
 ) -> GafRecord:
     """gaf_output_{global,semiglobal}_rec (recombination_output.rs:12-237,363-631)."""
     ids = g.nodes_id_pos
+    if dpm.ndim == 3:
+        dpm = dpm[:, :, best_path]
+    if rev_dpm.ndim == 3:
+        rev_dpm = rev_dpm[:, :, rev_best_path]
     n, L = dpm.shape[0], dpm.shape[1]
     (
         i_rev,
