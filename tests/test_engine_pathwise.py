@@ -1,0 +1,87 @@
+"""Device pathwise engines (modes 4/5/8/9) vs the scalar oracle."""
+
+import numpy as np
+import pytest
+
+from recgraph_tpu.graph.pathgraph import PathGraph, nodes_displacement_matrix
+from recgraph_tpu.io import fasta, gfa
+from recgraph_tpu.oracle import pathwise, recombination as ro
+from recgraph_tpu.ops import pathwise_engine, recombination_engine
+from recgraph_tpu.scoring import ScoreMatrix
+
+N_READS = 3
+
+
+@pytest.fixture(scope="module")
+def corpus(example_paths):
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    parsed = gfa.parse_gfa(graph_gfa)
+    g = PathGraph.from_gfa(parsed)
+    sm = ScoreMatrix.create("none", 2, -4)
+    return seqs[:N_READS], names[:N_READS], g, sm
+
+
+@pytest.mark.parametrize("mode", [4, 5])
+def test_pathwise_gaf_equal(corpus, mode):
+    seqs, names, g, sm = corpus
+    recs = pathwise_engine.run_batch(mode, seqs, g, sm)
+    fn = pathwise.exec_global if mode == 4 else pathwise.exec_semiglobal
+    for i, s in enumerate(seqs):
+        r_o = fn(s, g, sm)
+        r_o.query_name = names[i]
+        recs[i].query_name = names[i]
+        assert r_o.to_string() == recs[i].to_string()
+
+
+@pytest.mark.parametrize("mode", [8, 9])
+def test_recombination_gaf_equal(corpus, mode):
+    seqs, names, g, sm = corpus
+    rg = g.reverse()
+    dms = nodes_displacement_matrix(g, rg)
+    recs = recombination_engine.run_batch(mode, seqs, g, rg, sm, 4, 0.1, 1.0)
+    for i, s in enumerate(seqs):
+        r_o = ro.exec_mode(mode, s, g, rg, sm, 4, 0.1, dms, 1.0)
+        r_o.query_name = names[i]
+        recs[i].query_name = names[i]
+        assert r_o.to_string() == recs[i].to_string()
+
+
+def test_recombination_param_sweep(corpus):
+    """-R/-r/-B sweep config from BASELINE.json on one read."""
+    seqs, names, g, sm = corpus
+    rg = g.reverse()
+    dms = nodes_displacement_matrix(g, rg)
+    sub = seqs[:1]
+    for brc, mrc, rbw in [(10, 2.0, 0.5), (0, 0.0, 0.9)]:
+        recs = recombination_engine.run_batch(8, sub, g, rg, sm, brc, mrc, rbw)
+        r_o = ro.exec_mode(8, sub[0], g, rg, sm, brc, mrc, dms, rbw)
+        r_o.query_name = names[0]
+        recs[0].query_name = names[0]
+        assert r_o.to_string() == recs[0].to_string()
+
+
+def test_rev_fill_matrix_equal(corpus):
+    """Reverse fill matrices cell-exact vs rev_align (both modes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recgraph_tpu.ops.encode import encode_reads
+
+    seqs, _, g, sm = corpus
+    rg = g.reverse()
+    dgr = recombination_engine.rev_device_graph(rg)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(seqs[:2])
+    for mode in (8, 9):
+        Ar = np.asarray(
+            jax.device_get(
+                recombination_engine._fill_pathwise_rev(
+                    dgr, table, seq, L, jnp.bool_(mode == 8)
+                )
+            )
+        )
+        for b in range(2):
+            W = ro.rev_align(mode, ro.get_rev_sequence(seqs[b]), rg, sm)
+            Wd = Ar[b].transpose(1, 2, 0)[:, : W.shape[1], :]
+            assert np.array_equal(W, Wd)

@@ -1,0 +1,83 @@
+"""Device-engine POA modes 0-3 vs the scalar oracle (GAF equality).
+
+The oracle is the validated spec of the reference kernels (see
+tests/test_oracle_poa.py); these tests pin the device engines to it
+bit-for-bit, including traceback, band bookkeeping and tie-breaking.
+"""
+
+import pytest
+
+from recgraph_tpu.graph.poagraph import PoaGraph
+from recgraph_tpu.io import fasta, gfa
+from recgraph_tpu.oracle import gaf_emit, poa
+from recgraph_tpu.ops import poa_engine
+from recgraph_tpu.scoring import ScoreMatrix
+
+N_READS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(example_paths):
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    sm = ScoreMatrix.create("none", 2, -4)
+    return seqs[:N_READS], names[:N_READS], g, sm
+
+
+def _btas(seqs):
+    return [int(1 + 0.01 * len(s)) for s in seqs]
+
+
+def test_mode0_gaf_equal(corpus):
+    seqs, names, g, sm = corpus
+    states = poa_engine.run_batch(0, seqs, g, sm, -4, -2, _btas(seqs))
+    for i, s in enumerate(seqs):
+        st_o = poa.global_banded(s, g, sm, _btas(seqs)[i])
+        r_o = gaf_emit.gaf_of_global_abpoa(st_o, s, names[i], False, g.handle_pos)
+        r_d = gaf_emit.gaf_of_global_abpoa(states[i], s, names[i], False, g.handle_pos)
+        assert r_o.to_string() == r_d.to_string()
+        assert st_o.band_check_ok == states[i].band_check_ok
+
+
+def test_mode1_gaf_equal(corpus):
+    seqs, names, g, sm = corpus
+    states = poa_engine.run_batch(1, seqs, g, sm, -4, -2, _btas(seqs))
+    for i, s in enumerate(seqs):
+        st_o = poa.local_full(s, g, sm)
+        r_o = gaf_emit.gaf_of_local_poa(st_o, s, names[i], False, g.handle_pos)
+        r_d = gaf_emit.gaf_of_local_poa(states[i], s, names[i], False, g.handle_pos)
+        assert r_o.to_string() == r_d.to_string()
+
+
+def test_mode1_hoxd70(corpus):
+    """-m 1 with the HOXD70 matrix (-t), a BASELINE.json config."""
+    seqs, names, g, _ = corpus
+    sm = ScoreMatrix.create("HOXD70", 2, -4)
+    states = poa_engine.run_batch(1, seqs, g, sm, -4, -2, _btas(seqs))
+    for i, s in enumerate(seqs):
+        st_o = poa.local_full(s, g, sm)
+        r_o = gaf_emit.gaf_of_local_poa(st_o, s, names[i], False, g.handle_pos)
+        r_d = gaf_emit.gaf_of_local_poa(states[i], s, names[i], False, g.handle_pos)
+        assert r_o.to_string() == r_d.to_string()
+
+
+def test_mode2_gaf_equal(corpus):
+    seqs, names, g, sm = corpus
+    states = poa_engine.run_batch(2, seqs, g, sm, -4, -2, _btas(seqs))
+    for i, s in enumerate(seqs):
+        st_o = poa.gap_global_banded(s, g, sm, -4, -2, _btas(seqs)[i])
+        r_o = gaf_emit.gaf_of_gap_abpoa(st_o, s, names[i], False, g.handle_pos)
+        r_d = gaf_emit.gaf_of_gap_abpoa(states[i], s, names[i], False, g.handle_pos)
+        assert r_o.to_string() == r_d.to_string()
+        assert st_o.band_check_ok == states[i].band_check_ok
+
+
+def test_mode3_gaf_equal(corpus):
+    seqs, names, g, sm = corpus
+    states = poa_engine.run_batch(3, seqs, g, sm, -4, -2, _btas(seqs))
+    for i, s in enumerate(seqs):
+        st_o = poa.gap_local_full(s, g, sm, -4, -2)
+        r_o = gaf_emit.gaf_of_gap_local_poa(st_o, s, names[i], False, g.handle_pos)
+        r_d = gaf_emit.gaf_of_gap_local_poa(states[i], s, names[i], False, g.handle_pos)
+        assert r_o.to_string() == r_d.to_string()
