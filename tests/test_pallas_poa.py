@@ -1,0 +1,34 @@
+"""Pallas local-POA kernel vs the XLA scan engine (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recgraph_tpu.graph.poagraph import PoaGraph
+from recgraph_tpu.io import fasta, gfa
+from recgraph_tpu.ops import pallas_poa, poa_engine
+from recgraph_tpu.ops.encode import encode_reads, poa_device_graph
+from recgraph_tpu.scoring import ScoreMatrix
+
+
+def test_pallas_local_matches_xla(example_paths):
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    assert pallas_poa.max_pred_span(g) < pallas_poa.RING
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    reads = seqs[:8]
+    seq, L = encode_reads(reads)
+
+    bv, bi, bj, packed = pallas_poa.fill_local(
+        dg, table, seq, L, Bt=8, interpret=True
+    )
+    bv2, bi2, bj2, packed2 = poa_engine._fill_local(dg, table, seq, L)
+    np.testing.assert_array_equal(np.asarray(bv), np.asarray(bv2))
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi2))
+    np.testing.assert_array_equal(np.asarray(bj), np.asarray(bj2))
+    np.testing.assert_array_equal(
+        np.asarray(packed).transpose(1, 0, 2), np.asarray(packed2)
+    )
