@@ -44,12 +44,12 @@ def main(batch: int = 256, iters: int = 5) -> None:
     Lp = seq.shape[1]
     cells = batch * (dg.n - 1) * Lp
 
-    out = poa_engine._fill_local(dg, table, seq, L)
-    jax.block_until_ready(out)                      # compile + warmup
+    out = poa_engine.fill_local_best(dg, table, seq, L, g)
+    jax.block_until_ready(out[:4])                  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = poa_engine._fill_local(dg, table, seq, L)
-        jax.block_until_ready(out)
+        out = poa_engine.fill_local_best(dg, table, seq, L, g)
+        jax.block_until_ready(out[:4])
     dt = (time.perf_counter() - t0) / iters
 
     gcells = cells / dt / 1e9

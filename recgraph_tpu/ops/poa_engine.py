@@ -342,6 +342,28 @@ def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
 # ---------------------------------------------------------------------------
 
 
+def fill_local_best(dg, table, seq, L, g=None):
+    """Mode-1 fill through the fastest available backend.
+
+    On TPU, uses the Pallas ring-buffer kernel when the graph's
+    predecessor span fits its VMEM ring; otherwise the XLA scan engine.
+    Returns (score[B], best_i[B], best_j[B], packed, batch_axis) where
+    ``packed`` is [B, n, Lp] (batch_axis=0, XLA) or [n, B, Lp]
+    (batch_axis=1, Pallas — avoids a device-side transpose; hosts slice
+    per-read planes as free views either way).
+    """
+    if jax.default_backend() == "tpu" and g is not None:
+        from . import pallas_poa
+
+        if pallas_poa.max_pred_span(g) < pallas_poa.RING:
+            B = seq.shape[0]
+            Bt = 32 if B % 32 == 0 else (8 if B % 8 == 0 else None)
+            if Bt is not None:
+                bv, bi, bj, packed = pallas_poa.fill_local(dg, table, seq, L, Bt=Bt)
+                return bv, bi, bj, packed, 1
+    return _fill_local(dg, table, seq, L) + (0,)
+
+
 def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     dg = poa_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
@@ -363,7 +385,7 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
             for b in range(B)
         ]
     if mode == 1:
-        score, best_i, best_j, packed = _fill_local(dg, table, seq, L)
+        score, best_i, best_j, packed, baxis = fill_local_best(dg, table, seq, L, g)
         score, best_i, best_j, packed = jax.device_get(
             (score, best_i, best_j, packed)
         )
@@ -372,9 +394,10 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
             lb = len(sequences[b])
             lefts = np.zeros(dg.n, dtype=np.int32)
             rights = np.full(dg.n, lb, dtype=np.int32)
+            plane = packed[b] if baxis == 0 else packed[:, b, :]
             states.append(
                 _state_from_device(
-                    score[b], best_i[b], best_j[b], packed[b], lefts, rights, lb
+                    score[b], best_i[b], best_j[b], plane, lefts, rights, lb
                 )
             )
         return states
