@@ -342,6 +342,28 @@ def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
 # ---------------------------------------------------------------------------
 
 
+def fill_global_best(dg, table, seq, L, bta, g=None):
+    """Mode-0 fill through the fastest available backend.
+
+    Returns (score, last_row, last_col_abs, packed, lefts, rights,
+    batch_axis); packed is [B, n, Lp] (XLA) or [n, B, Lp+8] (Pallas,
+    band bounds in the trailing lanes).
+    """
+    if jax.default_backend() == "tpu" and g is not None:
+        from . import pallas_poa
+
+        if pallas_poa.max_pred_span(g) < pallas_poa.RING:
+            B = seq.shape[0]
+            Bt = 32 if B % 32 == 0 else (8 if B % 8 == 0 else None)
+            if Bt is not None:
+                score, lrow, lcol, packed = pallas_poa.fill_global(
+                    dg, table, seq, L, bta, Bt=Bt
+                )
+                return score, lrow, lcol, packed, None, None, 1
+    out = _fill_global(dg, table, seq, L, bta)
+    return out + (0,)
+
+
 def fill_local_best(dg, table, seq, L, g=None):
     """Mode-1 fill through the fastest available backend.
 
@@ -371,15 +393,26 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     B = len(sequences)
     if mode == 0:
         bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
-        score, last_row, last_col, packed, lefts, rights = _fill_global(
-            dg, table, seq, L, bta
+        score, last_row, last_col, packed, lefts, rights, baxis = fill_global_best(
+            dg, table, seq, L, bta, g
         )
-        score, last_row, last_col, packed, lefts, rights = jax.device_get(
-            (score, last_row, last_col, packed, lefts, rights)
-        )
+        if baxis == 0:
+            score, last_row, last_col, packed, lefts, rights = jax.device_get(
+                (score, last_row, last_col, packed, lefts, rights)
+            )
+            planes = [(packed[b], lefts[b], rights[b]) for b in range(B)]
+        else:
+            score, last_row, last_col, packed = jax.device_get(
+                (score, last_row, last_col, packed)
+            )
+            Lp = seq.shape[1]
+            planes = [
+                (packed[:, b, :Lp], packed[:, b, Lp], packed[:, b, Lp + 1])
+                for b in range(B)
+            ]
         return [
             _state_from_device(
-                score[b], last_row[b], last_col[b], packed[b], lefts[b], rights[b],
+                score[b], last_row[b], last_col[b], *planes[b],
                 len(sequences[b]), band_check="linear",
             )
             for b in range(B)

@@ -32,3 +32,30 @@ def test_pallas_local_matches_xla(example_paths):
     np.testing.assert_array_equal(
         np.asarray(packed).transpose(1, 0, 2), np.asarray(packed2)
     )
+
+
+def test_pallas_global_matches_xla(example_paths):
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    reads = seqs[:8]
+    seq, L = encode_reads(reads)
+    Lp = seq.shape[1]
+    bta = jnp.asarray([int(1 + 0.01 * len(s)) for s in reads], jnp.int32)
+
+    score, lrow, lcol, packed = pallas_poa.fill_global(
+        dg, table, seq, L, bta, Bt=8, interpret=True
+    )
+    s2, lr2, lc2, packed2, lefts2, rights2 = poa_engine._fill_global(
+        dg, table, seq, L, bta
+    )
+    np.testing.assert_array_equal(np.asarray(score), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(lrow), np.asarray(lr2))
+    np.testing.assert_array_equal(np.asarray(lcol), np.asarray(lc2))
+    pk = np.asarray(packed).transpose(1, 0, 2)
+    np.testing.assert_array_equal(pk[:, :, :Lp], np.asarray(packed2))
+    np.testing.assert_array_equal(pk[:, :, Lp], np.asarray(lefts2))
+    np.testing.assert_array_equal(pk[:, :, Lp + 1], np.asarray(rights2))
