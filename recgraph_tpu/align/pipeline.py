@@ -83,7 +83,47 @@ def _poa_align(opts, mode, seq, g, sm, bta, amb_mode, hofp):
     return st
 
 
-def _emit_poa(mode, st, seq, name, amb_mode, hofp):
+class _RawGafLine:
+    """A pre-rendered GAF line (native emitter fast path)."""
+
+    __slots__ = ("line",)
+
+    def __init__(self, line):
+        self.line = line
+
+    def to_string(self):
+        return self.line
+
+
+def _hofp_ids(g):
+    import numpy as np
+
+    ids = g.__dict__.get("_hofp_ids")
+    if ids is None:
+        ids = np.array([int(h) for h in g.handle_pos], dtype=np.int64)
+        g.__dict__["_hofp_ids"] = ids
+    return ids
+
+
+def _emit_poa(mode, st, seq, name, amb_mode, hofp, g=None):
+    # native fast path: device states carry packed direction planes
+    if g is not None and hasattr(st.path, "packed"):
+        import numpy as np
+
+        from .. import native
+
+        packed = np.ascontiguousarray(st.path.packed)
+        lefts = np.ascontiguousarray(np.asarray(st.path.lefts, dtype=np.int32))
+        px = py = None
+        if mode in (2, 3):
+            px = np.ascontiguousarray(st.path_x.packed)
+            py = np.ascontiguousarray(st.path_y.packed)
+        tail = native.gaf_emit_poa(
+            mode, packed, px, py, lefts, _hofp_ids(g),
+            st.last_row, st.last_col, len(seq), amb_mode,
+        )
+        if tail is not None:
+            return _RawGafLine(f"{name}\t{tail}")
     if mode == 0:
         return gaf_emit.gaf_of_global_abpoa(st, seq, name, amb_mode, hofp)
     if mode == 1:
@@ -120,12 +160,12 @@ def run(opts: Options) -> None:
             for i, seq in enumerate(sequences):
                 bta = _bta(opts, seq)
                 st = _poa_align(opts, mode, seq, g, sm, bta, False, hofp)
-                record = _emit_poa(mode, st, seq, names[i], False, hofp)
+                record = _emit_poa(mode, st, seq, names[i], False, hofp, g)
                 if opts.amb_strand and (mode in (1, 3) or st.score < 0):
                     rg, rhofp = rev_graph()
                     rseq = fasta.rev_and_compl(seq)
                     st_r = _poa_align(opts, mode, rseq, rg, sm, bta, True, rhofp)
-                    rec_r = _emit_poa(mode, st_r, rseq, names[i], True, rhofp)
+                    rec_r = _emit_poa(mode, st_r, rseq, names[i], True, rhofp, rg)
                     if mode == 1:
                         # reference inversion preserved (main.rs:160-164)
                         record = record if st.score < st_r.score else rec_r
@@ -213,12 +253,12 @@ def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
                 "Band length probably too short, maybe try with larger b and f",
                 file=sys.stderr,
             )
-        record = _emit_poa(mode, st, seq, names[i], False, g.handle_pos)
+        record = _emit_poa(mode, st, seq, names[i], False, g.handle_pos, g)
         if opts.amb_strand and (mode in (1, 3) or st.score < 0):
             rg, rhofp = rev_graph()
             rseq = fasta.rev_and_compl(seq)
             st_r = poa_engine.run_single(mode, rseq, rg, sm, o, e, btas[i])
-            rec_r = _emit_poa(mode, st_r, rseq, names[i], True, rhofp)
+            rec_r = _emit_poa(mode, st_r, rseq, names[i], True, rhofp, rg)
             if mode == 1:
                 record = record if st.score < st_r.score else rec_r
             else:

@@ -21,7 +21,13 @@ def get_sequences(path: str) -> tuple[list[str], list[str]]:
     """Read a FASTA file -> ([ '$' + read, ... ], [name, ...]).
 
     Mirrors sequences.rs:5-45 including the '$' sentinel and '-'->'N'.
+    Uses the native reader (native/io_native.cpp) when available.
     """
+    from .. import native
+
+    nat = native.read_fasta(path)
+    if nat is not None:
+        return nat
     sequences: list[str] = []
     names: list[str] = []
     current: list[str] = []

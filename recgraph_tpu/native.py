@@ -1,0 +1,146 @@
+"""ctypes loader for the native host library (native/*.cpp).
+
+Builds ``librecgraph_host.so`` with the system C++ toolchain on first
+use and exposes typed wrappers.  Every entry point has a pure-Python
+fallback (oracle/gaf_emit.py, io/fasta.py), so the native layer is an
+accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO = os.path.join(_NATIVE_DIR, "librecgraph_host.so")
+
+_lib = None
+_tried = False
+
+
+def load():
+    """Return the loaded library or None (after one build attempt)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("RECGRAPH_NO_NATIVE"):
+        return None
+    try:
+        if not os.path.exists(_SO) or any(
+            os.path.getmtime(os.path.join(_NATIVE_DIR, f)) > os.path.getmtime(_SO)
+            for f in os.listdir(_NATIVE_DIR)
+            if f.endswith(".cpp")
+        ):
+            subprocess.run(
+                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(_SO)
+    except Exception as e:  # missing toolchain, build failure, ...
+        print(f"recgraph-tpu: native host library unavailable ({e})", file=sys.stderr)
+        return None
+
+    lib.gaf_emit_poa.restype = ctypes.c_int64
+    lib.gaf_emit_poa.argtypes = [
+        ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.band_check_linear.restype = ctypes.c_int32
+    lib.band_check_linear.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.band_check_gap.restype = ctypes.c_int32
+    lib.band_check_gap.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.read_fasta.restype = ctypes.c_void_p
+    lib.read_fasta.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.free_buffer.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def _ptr(a):
+    if a is None:
+        return None
+    assert a.dtype in (np.int32, np.int64) and a.flags.c_contiguous
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def gaf_emit_poa(mode, packed, packed_x, packed_y, lefts, hofp_ids,
+                 last_row, last_col, seq_len, amb) -> str | None:
+    """Emit the GAF line tail (all columns after query_name) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    n, stride = packed.shape
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.gaf_emit_poa(
+        mode, _ptr(packed), _ptr(packed_x), _ptr(packed_y), _ptr(lefts),
+        _ptr(hofp_ids), n, stride, last_row, last_col, seq_len,
+        1 if amb else 0, out, cap,
+    )
+    if rc < 0:
+        return None
+    return out.raw[:rc].decode()
+
+
+def band_check_linear(packed, lefts, rights, seq_len, last_row, last_col):
+    lib = load()
+    if lib is None:
+        return None
+    n, stride = packed.shape
+    return bool(
+        lib.band_check_linear(
+            _ptr(packed), _ptr(lefts), _ptr(rights), stride, seq_len,
+            last_row, last_col,
+        )
+    )
+
+
+def band_check_gap(packed, packed_x, packed_y, lefts, rights, seq_len,
+                   last_row, last_col):
+    lib = load()
+    if lib is None:
+        return None
+    n, stride = packed.shape
+    return bool(
+        lib.band_check_gap(
+            _ptr(packed), _ptr(packed_x), _ptr(packed_y), _ptr(lefts),
+            _ptr(rights), stride, seq_len, last_row, last_col,
+        )
+    )
+
+
+def read_fasta(path: str):
+    """(sequences, names) via the native reader, or None."""
+    lib = load()
+    if lib is None:
+        return None
+    ln = ctypes.c_int64()
+    p = lib.read_fasta(path.encode(), ctypes.byref(ln))
+    if not p:
+        return None
+    try:
+        data = ctypes.string_at(p, ln.value).decode()
+    finally:
+        lib.free_buffer(p)
+    seqs, names = [], []
+    for line in data.splitlines():
+        name, seq = line.split("\t", 1)
+        names.append(name)
+        seqs.append(seq)
+    return seqs, names

@@ -1,0 +1,72 @@
+"""Native host library (C++ GAF emitter / band checks / FASTA reader)."""
+
+import numpy as np
+import pytest
+
+from recgraph_tpu import native
+from recgraph_tpu.graph.poagraph import PoaGraph
+from recgraph_tpu.io import fasta, gfa
+from recgraph_tpu.oracle import gaf_emit
+from recgraph_tpu.ops import poa_engine
+from recgraph_tpu.scoring import ScoreMatrix
+
+pytestmark = pytest.mark.skipif(native.load() is None, reason="no native lib")
+
+
+def test_native_fasta(example_paths):
+    reads_fa, _ = example_paths
+    nat = native.read_fasta(reads_fa)
+    # compare against the pure-Python implementation (bypass fast path)
+    sequences, names, current = [], [], []
+    with open(reads_fa) as fh:
+        for raw in fh:
+            line = raw.rstrip("\n").rstrip("\r")
+            if line.startswith(">"):
+                names.append(line[1:])
+                if current:
+                    sequences.append("$" + "".join(current))
+                    current = []
+            elif line:
+                current.append(line.upper().replace("-", "N"))
+    if current:
+        sequences.append("$" + "".join(current))
+    assert nat == (sequences, names)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_native_emit_identical(example_paths, mode):
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    seqs, names = seqs[:4], names[:4]
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    sm = ScoreMatrix.create("none", 2, -4)
+    hofp_ids = np.array([int(h) for h in g.handle_pos], dtype=np.int64)
+    btas = [int(1 + 0.01 * len(s)) for s in seqs]
+    emitters = {
+        0: gaf_emit.gaf_of_global_abpoa,
+        1: gaf_emit.gaf_of_local_poa,
+        2: gaf_emit.gaf_of_gap_abpoa,
+        3: gaf_emit.gaf_of_gap_local_poa,
+    }
+    states = poa_engine.run_batch(mode, seqs, g, sm, -4, -2, btas)
+    for i, st in enumerate(states):
+        py = emitters[mode](st, seqs[i], names[i], False, g.handle_pos).to_string()
+        packed = np.ascontiguousarray(st.path.packed)
+        lefts = np.ascontiguousarray(np.asarray(st.path.lefts, dtype=np.int32))
+        px = np.ascontiguousarray(st.path_x.packed) if mode in (2, 3) else None
+        pyy = np.ascontiguousarray(st.path_y.packed) if mode in (2, 3) else None
+        tail = native.gaf_emit_poa(
+            mode, packed, px, pyy, lefts, hofp_ids,
+            st.last_row, st.last_col, len(seqs[i]), False,
+        )
+        assert f"{names[i]}\t{tail}" == py
+        rights = np.ascontiguousarray(np.asarray(st.ampl)[:, 1].astype(np.int32))
+        if mode == 0:
+            assert st.band_check_ok == native.band_check_linear(
+                packed, lefts, rights, len(seqs[i]), st.last_row, st.last_col
+            )
+        if mode == 2:
+            assert st.band_check_ok == native.band_check_gap(
+                packed, px, pyy, lefts, rights, len(seqs[i]), st.last_row,
+                st.last_col,
+            )
