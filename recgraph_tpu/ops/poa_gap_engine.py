@@ -165,6 +165,9 @@ def _fill_gap_global(dg, table, seq, L, bta, o, e):
         x_left = jnp.where(i == 0, 0, x_left)
         v_left = jnp.stack([m_left, x_left], axis=-1)
         m_row, x_row = _affine_row_scan(c, v_left, is_left, in_band, o, e)
+        # row 0 takes y directly — its x state never competes (":60-66")
+        m_row = jnp.where(i == 0, row0_y, m_row)
+        x_row = jnp.where(i == 0, 0, x_row)
         m_row = jnp.where(in_band, m_row, NEG)
         y_row = jnp.where(in_band, y_row, NEG)
 
@@ -255,7 +258,7 @@ def _fill_gap_global(dg, table, seq, L, bta, o, e):
     last_row = cand[bidx]
     score = jnp.take_along_axis(vals, bidx[:, None], 1)[:, 0]
     last_col_abs = jnp.take_along_axis(cand_right, bidx[:, None], 1)[:, 0] - 1
-    return score, last_row, last_col_abs, packed, packed_x, packed_y, lefts, rights
+    return score, last_row, last_col_abs, packed, packed_x, packed_y, lefts, rights, m, y
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +411,7 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     ej = jnp.int32(e)
     if mode == 2:
         bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
-        out = _fill_gap_global(dg, table, seq, L, bta, oj, ej)
+        out = _fill_gap_global(dg, table, seq, L, bta, oj, ej)[:8]
         score, last_row, last_col, packed, px, py, lefts, rights = jax.device_get(out)
         states = []
         for b in range(B):

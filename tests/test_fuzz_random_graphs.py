@@ -1,0 +1,153 @@
+"""Property tests: device engines vs the scalar oracle on random graphs.
+
+The example corpus exercises one graph topology; these tests sweep
+random DAGs (random branching, node lengths, path sets) and random
+reads, asserting GAF-identity between the vectorised device kernels and
+the per-cell oracle for every supported mode.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from recgraph_tpu.graph.pathgraph import PathGraph, nodes_displacement_matrix
+from recgraph_tpu.graph.poagraph import PoaGraph
+from recgraph_tpu.io.gfa import Gfa, GfaPath
+from recgraph_tpu.oracle import gaf_emit, pathwise, poa, recombination as ro
+from recgraph_tpu.ops import pathwise_engine, poa_engine, recombination_engine
+from recgraph_tpu.scoring import ScoreMatrix
+
+
+def random_gfa(rng: random.Random, n_nodes=14, n_paths=4, cover_all=False) -> Gfa:
+    """Random connected DAG with ids in topological order + random paths.
+
+    ``cover_all`` guarantees every node lies on some path (the pathwise
+    modes — like the reference — index alphas and crash on uncovered
+    nodes, so their graphs must be fully covered).
+    """
+    gfa = Gfa()
+    for nid in range(1, n_nodes + 1):
+        ln = rng.randint(1, 4)
+        gfa.segments[nid] = "".join(rng.choice("ACGT") for _ in range(ln))
+    for nid in range(2, n_nodes + 1):
+        preds = rng.sample(range(1, nid), min(rng.randint(1, 3), nid - 1))
+        for p in preds:
+            gfa.edges.append((p, nid))
+    succs = gfa.successors()
+    preds = gfa.predecessors()
+
+    def walk_through(node):
+        left = [node]
+        while preds.get(left[0]):
+            left.insert(0, rng.choice(preds[left[0]]))
+        while succs.get(left[-1]):
+            left.append(rng.choice(succs[left[-1]]))
+        return left
+
+    for k in range(n_paths):
+        start = 1 if rng.random() < 0.7 else rng.randint(1, max(1, n_nodes // 3))
+        gfa.paths.append(GfaPath(f"p{k}", walk_through(start)))
+    if cover_all:
+        covered = {n for p in gfa.paths for n in p.nodes}
+        for nid in range(1, n_nodes + 1):
+            if nid not in covered:
+                w = walk_through(nid)
+                gfa.paths.append(GfaPath(f"c{nid}", w))
+                covered.update(w)
+    return gfa
+
+
+def random_read(rng: random.Random, gfa: Gfa) -> str:
+    """A read resembling a mutated path walk (plus the '$' sentinel)."""
+    path = rng.choice(gfa.paths)
+    bases = []
+    for nid in path.nodes:
+        bases.extend(gfa.segments[nid])
+    s = "".join(bases)
+    out = []
+    for c in s:
+        r = rng.random()
+        if r < 0.08:
+            continue  # deletion
+        if r < 0.16:
+            out.append(rng.choice("ACGT"))  # substitution
+        else:
+            out.append(c)
+        if rng.random() < 0.05:
+            out.append(rng.choice("ACGT"))  # insertion
+    if len(out) < 3:
+        out = list("ACG")
+    return "$" + "".join(out)
+
+
+SEEDS = [1, 2, 3, 4, 5]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_poa_modes(seed):
+    rng = random.Random(seed)
+    gfa = random_gfa(rng)
+    g = PoaGraph.from_gfa(gfa)
+    sm = ScoreMatrix.match_mismatch(2, -4)
+    reads = [random_read(rng, gfa) for _ in range(3)]
+    btas = [int(1 + 0.1 * len(s)) for s in reads]
+    emitters = {
+        0: gaf_emit.gaf_of_global_abpoa,
+        1: gaf_emit.gaf_of_local_poa,
+        2: gaf_emit.gaf_of_gap_abpoa,
+        3: gaf_emit.gaf_of_gap_local_poa,
+    }
+    oracles = {
+        0: lambda s, i: poa.global_banded(s, g, sm, btas[i]),
+        1: lambda s, i: poa.local_full(s, g, sm),
+        2: lambda s, i: poa.gap_global_banded(s, g, sm, -4, -2, btas[i]),
+        3: lambda s, i: poa.gap_local_full(s, g, sm, -4, -2),
+    }
+    for mode in (0, 1, 2, 3):
+        states = poa_engine.run_batch(mode, reads, g, sm, -4, -2, btas)
+        for i, s in enumerate(reads):
+            st_o = oracles[mode](s, i)
+            r_o = emitters[mode](st_o, s, "r", False, g.handle_pos).to_string()
+            r_d = emitters[mode](states[i], s, "r", False, g.handle_pos).to_string()
+            assert r_o == r_d, f"mode {mode} seed {seed} read {i}"
+            assert st_o.band_check_ok == states[i].band_check_ok
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_pathwise_modes(seed):
+    rng = random.Random(100 + seed)
+    gfa = random_gfa(rng, cover_all=True)
+    g = PathGraph.from_gfa(gfa)
+    sm = ScoreMatrix.match_mismatch(2, -4)
+    reads = [random_read(rng, gfa) for _ in range(3)]
+    for mode in (4, 5):
+        recs = pathwise_engine.run_batch(mode, reads, g, sm)
+        fn = pathwise.exec_global if mode == 4 else pathwise.exec_semiglobal
+        for i, s in enumerate(reads):
+            r_o = fn(s, g, sm)
+            assert r_o.to_string() == recs[i].to_string(), (
+                f"mode {mode} seed {seed} read {i}"
+            )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:3])
+def test_fuzz_recombination_modes(seed):
+    rng = random.Random(200 + seed)
+    gfa = random_gfa(rng, n_nodes=12, n_paths=3, cover_all=True)
+    g = PathGraph.from_gfa(gfa)
+    rg = g.reverse()
+    try:
+        recombination_engine.rev_device_graph(rg)
+    except NotImplementedError:
+        pytest.skip("graph hits the reverse-fill delta-leak edge case")
+    sm = ScoreMatrix.match_mismatch(2, -4)
+    dms = nodes_displacement_matrix(g, rg)
+    reads = [random_read(rng, gfa) for _ in range(2)]
+    for mode in (8, 9):
+        recs = recombination_engine.run_batch(mode, reads, g, rg, sm, 4, 0.1, 1.0)
+        for i, s in enumerate(reads):
+            r_o = ro.exec_mode(mode, s, g, rg, sm, 4, 0.1, dms, 1.0)
+            assert r_o.to_string() == recs[i].to_string(), (
+                f"mode {mode} seed {seed} read {i}"
+            )
