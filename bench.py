@@ -3,6 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Gcells/s", "vs_baseline": N}
 
+Timing methodology: the per-fill cost is the *slope* between one and
+k chained, data-dependent fills inside a single jitted program, ending
+in a scalar fetch.  This is robust against two failure modes observed
+on tunnelled PJRT backends: `block_until_ready` returning before the
+computation materialises (which inflates throughput ~30x), and tens of
+milliseconds of per-call transfer latency (which deflates it).
+
 Baseline: the reference's AVX2 local-POA kernel (local_poa.rs:9-179) is
 an 8-lane f32 row DP on one CPU core; no published numbers exist
 (BASELINE.md), so we use 1.0 Gcells/s as a generous estimate of its
@@ -24,7 +31,7 @@ import jax.numpy as jnp
 BASELINE_GCELLS = 1.0  # estimated Rust AVX2 single-core local-POA Gcells/s
 
 
-def main(batch: int = 256, iters: int = 5) -> None:
+def main(batch: int = 512, iters: int = 3) -> None:
     from recgraph_tpu.graph.poagraph import PoaGraph
     from recgraph_tpu.io import fasta, gfa
     from recgraph_tpu.ops import poa_engine
@@ -44,13 +51,29 @@ def main(batch: int = 256, iters: int = 5) -> None:
     Lp = seq.shape[1]
     cells = batch * (dg.n - 1) * Lp
 
-    out = poa_engine.fill_local_best(dg, table, seq, L, g)
-    jax.block_until_ready(out[:4])                  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = poa_engine.fill_local_best(dg, table, seq, L, g)
-        jax.block_until_ready(out[:4])
-    dt = (time.perf_counter() - t0) / iters
+    def chained(k):
+        @jax.jit
+        def fn(seq, L):
+            tot = jnp.int32(0)
+            s = seq
+            for _ in range(k):
+                out = poa_engine.fill_local_best(dg, table, s, L, g)
+                tot = tot + jnp.sum(out[0]) + out[3].reshape(-1)[12345]
+                s = jnp.roll(seq, tot & 3, axis=0)  # data dependency
+            return tot
+
+        return fn
+
+    k_hi = 4
+    t = {}
+    for k in (1, k_hi):
+        fn = chained(k)
+        int(fn(seq, L))  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            int(fn(seq, L))
+        t[k] = (time.perf_counter() - t0) / iters
+    dt = max((t[k_hi] - t[1]) / (k_hi - 1), 1e-9)
 
     gcells = cells / dt / 1e9
     print(
@@ -64,7 +87,7 @@ def main(batch: int = 256, iters: int = 5) -> None:
         )
     )
     print(
-        f"# batch={batch} n={dg.n} Lp={Lp} dt={dt*1e3:.1f}ms "
+        f"# batch={batch} n={dg.n} Lp={Lp} per-fill={dt*1e3:.1f}ms "
         f"reads/s={batch/dt:.0f} device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
@@ -72,6 +95,6 @@ def main(batch: int = 256, iters: int = 5) -> None:
 
 if __name__ == "__main__":
     main(
-        batch=int(sys.argv[1]) if len(sys.argv) > 1 else 2048,
-        iters=int(sys.argv[2]) if len(sys.argv) > 2 else 5,
+        batch=int(sys.argv[1]) if len(sys.argv) > 1 else 512,
+        iters=int(sys.argv[2]) if len(sys.argv) > 2 else 3,
     )

@@ -134,6 +134,31 @@ def _emit_poa(mode, st, seq, name, amb_mode, hofp, g=None):
 
 
 def run(opts: Options) -> None:
+    """Top-level orchestration (reference main.rs:25-329).
+
+    Observability (absent in the reference beyond a wall-clock line,
+    SURVEY.md §5): RECGRAPH_METRICS=1 prints reads/s and DP cells/s to
+    stderr; RECGRAPH_PROFILE=<dir> wraps the run in a jax.profiler
+    trace.  Diagnostics always go to stderr so the GAF stream on stdout
+    stays clean (the reference prints band warnings to stdout, which
+    can corrupt its output — consciously fixed here).
+    """
+    import contextlib
+    import os
+
+    profile_dir = os.environ.get("RECGRAPH_PROFILE")
+    ctx = contextlib.nullcontext()
+    if profile_dir:
+        import jax
+
+        ctx = jax.profiler.trace(profile_dir)
+    with ctx:
+        _run(opts)
+
+
+def _run(opts: Options) -> None:
+    import os
+
     t0 = time.time()
     sequences, names = fasta.get_sequences(opts.sequence_path)
     parsed = gfa.parse_gfa(opts.graph_path)
@@ -238,6 +263,17 @@ def run(opts: Options) -> None:
         raise SystemExit("Alignment mode must be in [0..9]")
 
     print(f"Done in {int(time.time() - t0)}.", file=sys.stderr)
+    if os.environ.get("RECGRAPH_METRICS"):
+        dt = max(time.time() - t0, 1e-9)
+        n_rows = len(parsed.segments) + sum(
+            len(s) for s in parsed.segments.values()
+        )
+        cells = sum(len(s) for s in sequences) * n_rows
+        print(
+            f"metrics: reads={len(sequences)} reads/s={len(sequences)/dt:.1f} "
+            f"cells/s={cells/dt:.3e} wall_s={dt:.3f}",
+            file=sys.stderr,
+        )
 
 
 def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):

@@ -1,0 +1,243 @@
+"""Optimised Pallas local-POA kernel (v2).
+
+Refinements over pallas_poa._local_kernel, driven by honest on-device
+profiling (grid-step overhead and per-row op count dominate):
+
+- R graph rows per grid step (amortises Mosaic grid/step overhead);
+- a fast path for non-start rows (90%+ of rows in typical pangenome
+  graphs): the single predecessor is row i-1, so no argmax tracking,
+  no masked multi-pred sweep;
+- start rows run the full first-best predecessor sweep with each
+  padded slot behind `pl.when` (skipped at runtime when absent);
+- accumulator planes live in VMEM scratch so both paths feed the same
+  shared direction/packing code.
+
+Outputs/tie-breaking identical to poa_engine._fill_local
+(local_poa.rs:181-293); validated cell-exact by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scoring import GAP
+from .poa_engine import NEG, O, D, LOW_D, L_DIR, U_DIR
+from .pallas_poa import RING, _prefix_max_chain
+
+
+def _make_local_kernel_v2(R: int):
+    def kernel(
+        pred_idx_ref,   # i32[n, Pm]
+        is_start_ref,   # i32[n]
+        gnode_ref,      # i32[n]
+        codes_ref,      # i32[n]
+        nrows_ref,      # i32[1]  (= n-1, loop bound)
+        sub_ref,        # [7, Bt, Lp]
+        eq_ref,         # [7, Bt, Lp]
+        gseq_ref,       # [Bt, Lp]
+        G_ref,          # [Bt, Lp]
+        valid_ref,      # [Bt, Lp]
+        packed_ref,     # out [R, Bt, Lp]
+        bv_ref,         # out [Bt, 1]
+        bi_ref,         # out [Bt, 1]
+        bj_ref,         # out [Bt, 1]
+        ring,           # scratch [RING, Bt, Lp]
+        acc,            # scratch [4, Bt, Lp]  d_pre/u_pre/d_arg/u_arg
+    ):
+        step = pl.program_id(1)
+        Bt, Lp = gseq_ref.shape
+        Pm = pred_idx_ref.shape[1]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lp), 1)
+        gseq = gseq_ref[:, :]
+        G = G_ref[:, :]
+        valid = valid_ref[:, :] != 0
+        nrows = nrows_ref[0]
+
+        @pl.when(step == 0)
+        def _():
+            bv_ref[:, :] = jnp.zeros((Bt, 1), jnp.int32)
+            bi_ref[:, :] = jnp.zeros((Bt, 1), jnp.int32)
+            bj_ref[:, :] = jnp.zeros((Bt, 1), jnp.int32)
+
+        for r in range(R):
+            i = step * R + r
+
+            @pl.when(i == 0)
+            def _():
+                packed_ref[r] = jnp.zeros((Bt, Lp), jnp.int32)
+                ring[0] = jnp.zeros((Bt, Lp), jnp.int32)
+
+            @pl.when((i > 0) & (i < nrows))
+            def _():
+                code_i = codes_ref[i]
+                gnode_i = gnode_ref[i]
+                subrow = sub_ref[code_i]
+                is_start = is_start_ref[i] != 0
+
+                @pl.when(jnp.logical_not(is_start))
+                def _():
+                    # fast path: single predecessor i-1, no argmax planes
+                    prow = ring[(i - 1) % RING]
+                    acc[1] = prow
+                    prow_sh = pltpu.roll(prow, 1, 1)
+                    acc[0] = jnp.where(jcol == 0, NEG, prow_sh)
+
+                @pl.when(is_start)
+                def _():
+                    acc[0] = jnp.full((Bt, Lp), NEG, jnp.int32)
+                    acc[1] = jnp.full((Bt, Lp), NEG, jnp.int32)
+                    acc[2] = jnp.zeros((Bt, Lp), jnp.int32)
+                    acc[3] = jnp.zeros((Bt, Lp), jnp.int32)
+                    for p in range(Pm):
+                        pidx = pred_idx_ref[i, p]
+
+                        @pl.when(pidx >= 0)
+                        def _():
+                            prow = ring[jnp.maximum(pidx, 0) % RING]
+                            prow = jnp.where(pidx == 0, 0, prow)
+                            upd = prow > acc[1]
+                            acc[3] = jnp.where(upd, pidx, acc[3])
+                            acc[1] = jnp.where(upd, prow, acc[1])
+                            prow_sh = pltpu.roll(prow, 1, 1)
+                            prow_sh = jnp.where(jcol == 0, NEG, prow_sh)
+                            upd = prow_sh > acc[0]
+                            acc[2] = jnp.where(upd, pidx, acc[2])
+                            acc[0] = jnp.where(upd, prow_sh, acc[0])
+
+                d_pre = acc[0]
+                u_pre = acc[1]
+                d_val = jnp.where(is_start, jnp.maximum(d_pre, 0), d_pre) + subrow
+                u_val = jnp.where(is_start, jnp.maximum(u_pre, 0), u_pre) + gnode_i
+                d_idx = jnp.where(is_start, jnp.where(d_pre > 0, acc[2], 0), i - 1)
+                u_idx = jnp.where(is_start, jnp.where(u_pre > 0, acc[3], 0), i - 1)
+
+                A = jnp.maximum(jnp.maximum(d_val, u_val), 0)
+                A = jnp.where(jcol == 0, 0, A)
+                x = _prefix_max_chain(A - G, jcol, Lp)
+                m_row = G + x
+                m_row = jnp.where(valid, m_row, NEG)
+                m_row = jnp.where(jcol == 0, 0, m_row)
+
+                m_prev = pltpu.roll(m_row, 1, 1)
+                m_prev = jnp.where(jcol == 0, NEG, m_prev)
+                l_val = m_prev + gseq
+                all_neg = (d_val < 0) & (u_val < 0) & (l_val < 0)
+                d_ge_u = d_val >= u_val
+                dirD = d_ge_u & (d_val >= l_val)
+                dirU = (~d_ge_u) & (u_val >= l_val)
+                match = eq_ref[code_i] != 0
+                dcode = jnp.where(
+                    dirD,
+                    jnp.where(match, D, LOW_D),
+                    jnp.where(dirU, U_DIR, L_DIR),
+                )
+                pred_sel = jnp.where(dirD, d_idx, jnp.where(dirU, u_idx, i))
+                border = all_neg | (jcol == 0) | ~valid
+                dcode = jnp.where(border, O, dcode)
+                pred_sel = jnp.where(border, 0, pred_sel)
+                packed_ref[r] = pred_sel * 16 + dcode
+
+                row_masked = jnp.where(valid, m_row, NEG)
+                rmax = jnp.max(row_masked, axis=1, keepdims=True)
+                rarg = jnp.min(
+                    jnp.where(row_masked == rmax, jcol, 1 << 28),
+                    axis=1, keepdims=True,
+                )
+                upd = rmax > bv_ref[:, :]
+                bv_ref[:, :] = jnp.where(upd, rmax, bv_ref[:, :])
+                bi_ref[:, :] = jnp.where(upd, i, bi_ref[:, :])
+                bj_ref[:, :] = jnp.where(upd, rarg, bj_ref[:, :])
+
+                ring[i % RING] = m_row
+
+            @pl.when(i >= nrows)
+            def _():
+                packed_ref[r] = jnp.zeros((Bt, Lp), jnp.int32)
+
+    return kernel
+
+
+_cache: dict = {}
+
+
+def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False):
+    """Drop-in for pallas_poa.fill_local with the v2 kernel.
+
+    Returns (score[B], best_i[B], best_j[B], packed[n_pad, B, Lp]) with
+    n_pad = R * ceil((n-1)/R) >= n (rows beyond n-2 zeroed).
+    """
+    B, Lp = seq.shape
+    if Bt is None:
+        Bt = min(B, 32)
+    if B % Bt:
+        raise ValueError(f"batch {B} not divisible by tile {Bt}")
+    n = dg.n
+    steps = -(-(n - 1) // R)
+    n_pad = steps * R
+    key = (n, Lp, Bt, R, B, interpret)
+    fn = _cache.get(key)
+    if fn is None:
+        kernel = _make_local_kernel_v2(R)
+        fn = jax.jit(
+            pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=5,
+                    grid=(B // Bt, steps),
+                    in_specs=[
+                        pl.BlockSpec((7, Bt, Lp), lambda b, s, *_: (0, b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((7, Bt, Lp), lambda b, s, *_: (0, b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, Lp), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, Lp), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, Lp), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((R, Bt, Lp), lambda b, s, *_: (s, b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((RING, Bt, Lp), jnp.int32),
+                        pltpu.VMEM((4, Bt, Lp), jnp.int32),
+                    ],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_pad, B, Lp), jnp.int32),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                ],
+                interpret=interpret,
+            )
+        )
+        _cache[key] = fn
+    codes7 = jnp.arange(7, dtype=jnp.int32)
+    sub = table[codes7][:, seq]
+    eq = (seq[None, :, :] == codes7[:, None, None]).astype(jnp.int32)
+    gseq = table[seq, GAP]
+    G = jnp.cumsum(gseq, axis=1).astype(jnp.int32)
+    jcol = jnp.arange(Lp, dtype=jnp.int32)
+    valid = (jcol[None, :] < L[:, None]).astype(jnp.int32)
+    gnode = table[dg.codes, GAP]
+    nrows = jnp.asarray([n - 1], dtype=jnp.int32)
+    packed, bv, bi, bj = fn(
+        dg.pred_idx, dg.node_start.astype(jnp.int32), gnode, dg.codes, nrows,
+        sub, eq, gseq, G, valid,
+    )
+    return bv[:, 0], bi[:, 0], bj[:, 0], packed
