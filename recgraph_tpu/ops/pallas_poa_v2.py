@@ -31,7 +31,9 @@ from .poa_engine import NEG, O, D, LOW_D, L_DIR, U_DIR
 from .pallas_poa import RING, _prefix_max_chain
 
 
-def _make_local_kernel_v2(R: int):
+def _make_local_kernel_v2(R: int, dtype=jnp.int32, neg=NEG):
+    """dtype=int16 halves VPU register pressure; callers gate it on
+    n < 2048 and |scores| < 16k (see fill_local_v2)."""
     def kernel(
         pred_idx_ref,   # i32[n, Pm]
         is_start_ref,   # i32[n]
@@ -54,6 +56,8 @@ def _make_local_kernel_v2(R: int):
         Bt, Lp = gseq_ref.shape
         Pm = pred_idx_ref.shape[1]
         jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lp), 1)
+        j0 = jcol == 0
+        NEGd = dtype(neg)
         gseq = gseq_ref[:, :]
         G = G_ref[:, :]
         valid = valid_ref[:, :] != 0
@@ -70,8 +74,8 @@ def _make_local_kernel_v2(R: int):
 
             @pl.when(i == 0)
             def _():
-                packed_ref[r] = jnp.zeros((Bt, Lp), jnp.int32)
-                ring[0] = jnp.zeros((Bt, Lp), jnp.int32)
+                packed_ref[r] = jnp.zeros((Bt, Lp), dtype)
+                ring[0] = jnp.zeros((Bt, Lp), dtype)
 
             @pl.when((i > 0) & (i < nrows))
             def _():
@@ -86,46 +90,53 @@ def _make_local_kernel_v2(R: int):
                     prow = ring[(i - 1) % RING]
                     acc[1] = prow
                     prow_sh = pltpu.roll(prow, 1, 1)
-                    acc[0] = jnp.where(jcol == 0, NEG, prow_sh)
+                    acc[0] = jnp.where(j0, NEGd, prow_sh)
 
                 @pl.when(is_start)
                 def _():
-                    acc[0] = jnp.full((Bt, Lp), NEG, jnp.int32)
-                    acc[1] = jnp.full((Bt, Lp), NEG, jnp.int32)
-                    acc[2] = jnp.zeros((Bt, Lp), jnp.int32)
-                    acc[3] = jnp.zeros((Bt, Lp), jnp.int32)
+                    acc[0] = jnp.full((Bt, Lp), neg, dtype)
+                    acc[1] = jnp.full((Bt, Lp), neg, dtype)
+                    acc[2] = jnp.zeros((Bt, Lp), dtype)
+                    acc[3] = jnp.zeros((Bt, Lp), dtype)
                     for p in range(Pm):
                         pidx = pred_idx_ref[i, p]
 
                         @pl.when(pidx >= 0)
                         def _():
                             prow = ring[jnp.maximum(pidx, 0) % RING]
-                            prow = jnp.where(pidx == 0, 0, prow)
+                            prow = jnp.where(pidx == 0, dtype(0), prow)
                             upd = prow > acc[1]
-                            acc[3] = jnp.where(upd, pidx, acc[3])
+                            acc[3] = jnp.where(upd, pidx.astype(dtype), acc[3])
                             acc[1] = jnp.where(upd, prow, acc[1])
                             prow_sh = pltpu.roll(prow, 1, 1)
-                            prow_sh = jnp.where(jcol == 0, NEG, prow_sh)
+                            prow_sh = jnp.where(j0, NEGd, prow_sh)
                             upd = prow_sh > acc[0]
-                            acc[2] = jnp.where(upd, pidx, acc[2])
+                            acc[2] = jnp.where(upd, pidx.astype(dtype), acc[2])
                             acc[0] = jnp.where(upd, prow_sh, acc[0])
 
                 d_pre = acc[0]
                 u_pre = acc[1]
-                d_val = jnp.where(is_start, jnp.maximum(d_pre, 0), d_pre) + subrow
-                u_val = jnp.where(is_start, jnp.maximum(u_pre, 0), u_pre) + gnode_i
-                d_idx = jnp.where(is_start, jnp.where(d_pre > 0, acc[2], 0), i - 1)
-                u_idx = jnp.where(is_start, jnp.where(u_pre > 0, acc[3], 0), i - 1)
+                zero = dtype(0)
+                d_val = jnp.where(is_start, jnp.maximum(d_pre, zero), d_pre) + subrow
+                u_val = jnp.where(is_start, jnp.maximum(u_pre, zero), u_pre) + gnode_i
+                d_idx = jnp.where(
+                    is_start, jnp.where(d_pre > 0, acc[2], zero),
+                    (i - 1).astype(dtype) if dtype != jnp.int32 else i - 1,
+                )
+                u_idx = jnp.where(
+                    is_start, jnp.where(u_pre > 0, acc[3], zero),
+                    (i - 1).astype(dtype) if dtype != jnp.int32 else i - 1,
+                )
 
-                A = jnp.maximum(jnp.maximum(d_val, u_val), 0)
-                A = jnp.where(jcol == 0, 0, A)
+                A = jnp.maximum(jnp.maximum(d_val, u_val), zero)
+                A = jnp.where(j0, zero, A)
                 x = _prefix_max_chain(A - G, jcol, Lp)
                 m_row = G + x
-                m_row = jnp.where(valid, m_row, NEG)
-                m_row = jnp.where(jcol == 0, 0, m_row)
+                m_row = jnp.where(valid, m_row, NEGd)
+                m_row = jnp.where(j0, zero, m_row)
 
                 m_prev = pltpu.roll(m_row, 1, 1)
-                m_prev = jnp.where(jcol == 0, NEG, m_prev)
+                m_prev = jnp.where(j0, NEGd, m_prev)
                 l_val = m_prev + gseq
                 all_neg = (d_val < 0) & (u_val < 0) & (l_val < 0)
                 d_ge_u = d_val >= u_val
@@ -134,23 +145,27 @@ def _make_local_kernel_v2(R: int):
                 match = eq_ref[code_i] != 0
                 dcode = jnp.where(
                     dirD,
-                    jnp.where(match, D, LOW_D),
-                    jnp.where(dirU, U_DIR, L_DIR),
+                    jnp.where(match, dtype(D), dtype(LOW_D)),
+                    jnp.where(dirU, dtype(U_DIR), dtype(L_DIR)),
                 )
-                pred_sel = jnp.where(dirD, d_idx, jnp.where(dirU, u_idx, i))
-                border = all_neg | (jcol == 0) | ~valid
-                dcode = jnp.where(border, O, dcode)
-                pred_sel = jnp.where(border, 0, pred_sel)
-                packed_ref[r] = pred_sel * 16 + dcode
+                pred_sel = jnp.where(
+                    dirD, d_idx,
+                    jnp.where(dirU, u_idx,
+                              i.astype(dtype) if dtype != jnp.int32 else i),
+                )
+                border = all_neg | j0 | ~valid
+                dcode = jnp.where(border, dtype(O), dcode)
+                pred_sel = jnp.where(border, zero, pred_sel)
+                packed_ref[r] = pred_sel * dtype(16) + dcode
 
-                row_masked = jnp.where(valid, m_row, NEG)
+                row_masked = jnp.where(valid, m_row, NEGd)
                 rmax = jnp.max(row_masked, axis=1, keepdims=True)
                 rarg = jnp.min(
                     jnp.where(row_masked == rmax, jcol, 1 << 28),
                     axis=1, keepdims=True,
                 )
-                upd = rmax > bv_ref[:, :]
-                bv_ref[:, :] = jnp.where(upd, rmax, bv_ref[:, :])
+                upd = rmax.astype(jnp.int32) > bv_ref[:, :]
+                bv_ref[:, :] = jnp.where(upd, rmax.astype(jnp.int32), bv_ref[:, :])
                 bi_ref[:, :] = jnp.where(upd, i, bi_ref[:, :])
                 bj_ref[:, :] = jnp.where(upd, rarg, bj_ref[:, :])
 
@@ -158,7 +173,7 @@ def _make_local_kernel_v2(R: int):
 
             @pl.when(i >= nrows)
             def _():
-                packed_ref[r] = jnp.zeros((Bt, Lp), jnp.int32)
+                packed_ref[r] = jnp.zeros((Bt, Lp), dtype)
 
     return kernel
 
@@ -166,11 +181,14 @@ def _make_local_kernel_v2(R: int):
 _cache: dict = {}
 
 
-def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False):
+def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False, dtype=None):
     """Drop-in for pallas_poa.fill_local with the v2 kernel.
 
     Returns (score[B], best_i[B], best_j[B], packed[n_pad, B, Lp]) with
-    n_pad = R * ceil((n-1)/R) >= n (rows beyond n-2 zeroed).
+    n_pad = R * ceil((n-1)/R) >= n (rows beyond n-2 zeroed).  Score and
+    traceback planes run in int16 when the graph/read sizes allow
+    (n < 2048 rows for the packed cells, |scores| < 16k), halving VPU
+    register pressure; int32 otherwise.
     """
     B, Lp = seq.shape
     if Bt is None:
@@ -178,12 +196,19 @@ def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False):
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
     n = dg.n
+    if dtype is None:
+        # int16 halves register pressure but Mosaic's lane rotate is
+        # 32-bit only as of jax 0.9 ("Rotate with non-32-bit data");
+        # flip the default once that lands (interpret mode already
+        # validates the int16 path cell-exactly).
+        dtype = jnp.int32
+    neg = -(1 << 14) if dtype == jnp.int16 else NEG
     steps = -(-(n - 1) // R)
     n_pad = steps * R
-    key = (n, Lp, Bt, R, B, interpret)
+    key = (n, Lp, Bt, R, B, interpret, dtype)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_local_kernel_v2(R)
+        kernel = _make_local_kernel_v2(R, dtype=dtype, neg=neg)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
@@ -213,12 +238,12 @@ def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False):
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
-                        pltpu.VMEM((RING, Bt, Lp), jnp.int32),
-                        pltpu.VMEM((4, Bt, Lp), jnp.int32),
+                        pltpu.VMEM((RING, Bt, Lp), dtype),
+                        pltpu.VMEM((4, Bt, Lp), dtype),
                     ],
                 ),
                 out_shape=[
-                    jax.ShapeDtypeStruct((n_pad, B, Lp), jnp.int32),
+                    jax.ShapeDtypeStruct((n_pad, B, Lp), dtype),
                     jax.ShapeDtypeStruct((B, 1), jnp.int32),
                     jax.ShapeDtypeStruct((B, 1), jnp.int32),
                     jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -228,12 +253,12 @@ def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False):
         )
         _cache[key] = fn
     codes7 = jnp.arange(7, dtype=jnp.int32)
-    sub = table[codes7][:, seq]
-    eq = (seq[None, :, :] == codes7[:, None, None]).astype(jnp.int32)
-    gseq = table[seq, GAP]
-    G = jnp.cumsum(gseq, axis=1).astype(jnp.int32)
+    sub = table[codes7][:, seq].astype(dtype)
+    eq = (seq[None, :, :] == codes7[:, None, None]).astype(dtype)
+    gseq = table[seq, GAP].astype(dtype)
+    G = jnp.cumsum(table[seq, GAP], axis=1).astype(dtype)
     jcol = jnp.arange(Lp, dtype=jnp.int32)
-    valid = (jcol[None, :] < L[:, None]).astype(jnp.int32)
+    valid = (jcol[None, :] < L[:, None]).astype(dtype)
     gnode = table[dg.codes, GAP]
     nrows = jnp.asarray([n - 1], dtype=jnp.int32)
     packed, bv, bi, bj = fn(

@@ -59,3 +59,25 @@ def test_pallas_global_matches_xla(example_paths):
     np.testing.assert_array_equal(pk[:, :, :Lp], np.asarray(packed2))
     np.testing.assert_array_equal(pk[:, :, Lp], np.asarray(lefts2))
     np.testing.assert_array_equal(pk[:, :, Lp + 1], np.asarray(rights2))
+
+
+def test_pallas_local_v2_matches_xla_both_dtypes(example_paths):
+    from recgraph_tpu.ops import pallas_poa_v2
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(seqs[:8])
+    bv2, bi2, bj2, packed2 = poa_engine._fill_local(dg, table, seq, L)
+    for dt in (jnp.int32, jnp.int16):
+        bv, bi, bj, packed = pallas_poa_v2.fill_local_v2(
+            dg, table, seq, L, Bt=8, R=8, interpret=True, dtype=dt
+        )
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(bv2))
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi2))
+        np.testing.assert_array_equal(np.asarray(bj), np.asarray(bj2))
+        pk = np.asarray(packed)[: g.n].astype(np.int32).transpose(1, 0, 2)
+        np.testing.assert_array_equal(pk, np.asarray(packed2))
