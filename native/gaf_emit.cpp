@@ -281,3 +281,115 @@ int32_t band_check_gap(const int32_t* packed, const int32_t* packed_x,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Walk-based entry points: consume the compact on-device traceback
+// (ops/traceback_engine.py) instead of full packed planes.  Walk steps
+// carry the direction in bits 0-3 and a "chain interior" flag in bit 4
+// (X/Y gap-run cells, which the reference's band checks skip).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t gaf_emit_poa_walk(const int32_t* dirs, const int32_t* rows,
+                          int64_t n_steps, int64_t stop_row,
+                          int64_t query_start, int64_t last_row,
+                          int64_t query_end, const int64_t* hofp,
+                          int64_t seq_len, int32_t amb, char* out,
+                          int64_t cap) {
+    Emit em;
+    for (int64_t k = 0; k < n_steps; k++) {
+        int dir = dirs[k] & 15;
+        int64_t row = rows[k];
+        // chain-interior steps (bit 4) skip the handle/dir boundary
+        // bookkeeping — the reference's X/Y gap-run loops emit without
+        // re-checking boundaries (gaf_output.rs:232-248)
+        if (!(dirs[k] & 16)) {
+            em.boundary(hofp[row], dir);
+            if (!em.ok) return -1;
+        }
+        switch (dir) {
+            case DD:
+                em.handles.push_back(hofp[row]);
+                em.cm++; em.path_length++; em.residue_matching++;
+                break;
+            case dd:
+                em.handles.push_back(hofp[row]);
+                em.cm++; em.path_length++;
+                break;
+            case LL:
+                em.cd++;
+                break;
+            case UU:
+                em.handles.push_back(hofp[row]);
+                em.ci++; em.path_length++;
+                break;
+            default:
+                return -1;
+        }
+    }
+    em.finish();
+    if (!em.ok) return -1;
+    return render(em, seq_len - 1, query_start, query_end, amb != 0,
+                  node_start(hofp, stop_row), node_start(hofp, last_row),
+                  out, cap);
+}
+
+// Replay of band_ampl_enough (global_abpoa.rs:428-476) over a walk.
+int32_t band_check_linear_walk(const int32_t* dirs, const int32_t* rows,
+                               int64_t n_steps, const int32_t* lefts,
+                               const int32_t* rights, int64_t last_row,
+                               int64_t last_col_abs, int64_t seq_len,
+                               int64_t stop_row) {
+    int64_t i = last_row, j_abs = last_col_abs;
+    for (int64_t k = 0; k <= n_steps; k++) {
+        int64_t left = lefts[i], right = rights[i];
+        int64_t j = j_abs - left;
+        if (i == 0 || (j == 0 && left == 0)) return 1;
+        if ((j == 0 && left != 0) || (j == right - left - 1 && right != seq_len))
+            return 0;
+        if (k == n_steps) break;  // walk ended at an 'O' cell
+        int dir = dirs[k] & 15;
+        int64_t next_row = (k + 1 < n_steps) ? rows[k + 1] : stop_row;
+        switch (dir) {
+            case DD: case dd: i = next_row; j_abs--; break;
+            case LL: j_abs--; break;
+            case UU: i = next_row; break;
+            default: return 0;
+        }
+    }
+    return 1;
+}
+
+// Replay of the gap band check (gap_global_abpoa.rs:371-455): border
+// conditions apply only at outer (non-chain-interior) cells.
+int32_t band_check_gap_walk(const int32_t* dirs, const int32_t* rows,
+                            int64_t n_steps, const int32_t* lefts,
+                            const int32_t* rights, int64_t last_row,
+                            int64_t last_col_abs, int64_t seq_len,
+                            int64_t stop_row) {
+    int64_t i = last_row, j_abs = last_col_abs;
+    for (int64_t k = 0; k <= n_steps; k++) {
+        bool outer = (k == n_steps) || ((dirs[k] & 16) == 0);
+        if (outer) {
+            int64_t left = lefts[i], right = rights[i];
+            int64_t j = j_abs - left;
+            if (i == 0 || (j == 0 && left == 0)) return 1;
+            if ((j == 0 && left != 0) ||
+                (j == right - left - 1 && right != seq_len))
+                return 0;
+        }
+        if (k == n_steps) break;
+        int dir = dirs[k] & 15;
+        int64_t next_row = (k + 1 < n_steps) ? rows[k + 1] : stop_row;
+        switch (dir) {
+            case DD: case dd: i = next_row; j_abs--; break;
+            case LL: j_abs--; break;
+            case UU: i = next_row; break;
+            default: return 0;
+        }
+    }
+    return 1;
+}
+
+}  // extern "C"

@@ -106,6 +106,16 @@ def _hofp_ids(g):
 
 
 def _emit_poa(mode, st, seq, name, amb_mode, hofp, g=None):
+    from ..ops.poa_engine import WalkState
+
+    if isinstance(st, WalkState):
+        from .. import native
+
+        tail = native.gaf_emit_poa_walk(
+            st.dirs, st.rows, st.stop_row, st.query_start, st.last_row,
+            st.last_col_abs, _hofp_ids(g), len(seq), amb_mode,
+        )
+        return _RawGafLine(f"{name}\t{tail}")
     # native fast path: device states carry packed direction planes
     if g is not None and hasattr(st.path, "packed"):
         import numpy as np
@@ -280,9 +290,15 @@ def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
     """Batched device path for modes 0-3 (length-bucketed vmap)."""
     from ..ops import poa_engine
 
+    from .. import native
+
     o, e = -opts.gap_open, -opts.gap_extension
     btas = [_bta(opts, s) for s in sequences]
-    states = poa_engine.run_batch(mode, sequences, g, sm, o, e, btas)
+    if native.load() is not None:
+        # on-device traceback: ~100x smaller device->host transfer
+        states = poa_engine.run_batch_walks(mode, sequences, g, sm, o, e, btas)
+    else:
+        states = poa_engine.run_batch(mode, sequences, g, sm, o, e, btas)
     for i, (seq, st) in enumerate(zip(sequences, states)):
         if mode in (0, 2) and not st.band_check_ok:
             print(

@@ -65,6 +65,24 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.gaf_emit_poa_walk.restype = ctypes.c_int64
+    lib.gaf_emit_poa_walk.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.band_check_linear_walk.restype = ctypes.c_int32
+    lib.band_check_linear_walk.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.band_check_gap_walk.restype = ctypes.c_int32
+    lib.band_check_gap_walk.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
     lib.read_fasta.restype = ctypes.c_void_p
     lib.read_fasta.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
     lib.free_buffer.argtypes = [ctypes.c_void_p]
@@ -144,3 +162,33 @@ def read_fasta(path: str):
         names.append(name)
         seqs.append(seq)
     return seqs, names
+
+
+def gaf_emit_poa_walk(dirs, rows, stop_row, query_start, last_row, query_end,
+                      hofp_ids, seq_len, amb) -> str | None:
+    """Emit the GAF line tail from a compact device walk, or None."""
+    lib = load()
+    if lib is None:
+        return None
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.gaf_emit_poa_walk(
+        _ptr(dirs), _ptr(rows), len(dirs), stop_row, query_start,
+        last_row, query_end, _ptr(hofp_ids), seq_len, 1 if amb else 0,
+        out, cap,
+    )
+    if rc < 0:
+        return None
+    return out.raw[:rc].decode()
+
+
+def band_check_walk(gap, dirs, rows, lefts, rights, last_row, last_col_abs,
+                    seq_len, stop_row):
+    lib = load()
+    if lib is None:
+        return None
+    fn = lib.band_check_gap_walk if gap else lib.band_check_linear_walk
+    return bool(
+        fn(_ptr(dirs), _ptr(rows), len(dirs), _ptr(lefts), _ptr(rights),
+           last_row, last_col_abs, seq_len, stop_row)
+    )

@@ -443,3 +443,119 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
 
 def run_single(mode, seq, g, sm, o, e, bta) -> PoaState:
     return run_batch(mode, [seq], g, sm, o, e, [bta])[0]
+
+
+# ---------------------------------------------------------------------------
+# device-traceback batch path (compact walks instead of packed planes)
+# ---------------------------------------------------------------------------
+
+
+class WalkState:
+    """Per-read result with a compact device walk (no packed planes).
+
+    ~100x smaller host transfer than PoaState's direction planes; GAF
+    emission goes through the native walk emitter
+    (native/gaf_emit.cpp: gaf_emit_poa_walk).
+    """
+
+    __slots__ = (
+        "mode", "score", "last_row", "last_col_abs", "stop_row",
+        "query_start", "dirs", "rows", "band_check_ok",
+    )
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def run_batch_walks(mode, sequences, g, sm, o, e, btas):
+    """Modes 0-3 with on-device traceback; returns list[WalkState].
+
+    Requires the native host library for emission (callers fall back to
+    run_batch otherwise).
+    """
+    from . import traceback_engine
+    from .. import native
+
+    dg = poa_device_graph(g)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(sequences)
+    B, Lp = seq.shape
+    W = traceback_engine.max_walk_steps(dg.n, Lp)
+    gap = mode in (2, 3)
+    banded = mode in (0, 2)
+    if mode == 0:
+        bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
+        score, last_row, last_col, packed, lefts, rights, baxis = fill_global_best(
+            dg, table, seq, L, bta, g
+        )
+        if baxis == 1:
+            lefts = jnp.moveaxis(packed[:, :, Lp], 0, 1)
+            rights = jnp.moveaxis(packed[:, :, Lp + 1], 0, 1)
+            packed = jnp.moveaxis(packed[:, :, :Lp], 0, 1)
+        px = py = packed
+    elif mode == 1:
+        score, last_row, last_col, packed, baxis = fill_local_best(
+            dg, table, seq, L, g
+        )
+        if baxis == 1:
+            packed = jnp.moveaxis(packed[: dg.n], 0, 1)
+        px = py = packed
+        lefts = rights = None
+    elif mode == 2:
+        from . import poa_gap_engine
+
+        out = poa_gap_engine._fill_gap_global(
+            dg, table, seq, L,
+            jnp.asarray(np.asarray(btas, dtype=np.int32)),
+            jnp.int32(o), jnp.int32(e),
+        )[:8]
+        score, last_row, last_col, packed, px, py, lefts, rights = out
+    else:
+        from . import poa_gap_engine
+
+        out = poa_gap_engine._fill_gap_local(
+            dg, table, seq, L, jnp.int32(o), jnp.int32(e)
+        )
+        score, last_row, last_col, packed, px, py = out
+        lefts = rights = None
+
+    dirs, rows, steps, stop_row, stop_col = traceback_engine.walk_poa(
+        packed, px, py, last_row, last_col, gap=gap, max_steps=W
+    )
+    fetch = [score, last_row, last_col, dirs, rows, steps, stop_row, stop_col]
+    if banded:
+        fetch += [lefts, rights]
+    got = jax.device_get(fetch)
+    score, last_row, last_col, dirs, rows, steps, stop_row, stop_col = got[:8]
+    states = []
+    for b in range(B):
+        ns = int(steps[b])
+        d = np.ascontiguousarray(dirs[b, :ns])
+        r = np.ascontiguousarray(rows[b, :ns])
+        lb = len(sequences[b])
+        if banded:
+            lf = np.ascontiguousarray(got[8][b])
+            rt = np.ascontiguousarray(got[9][b])
+            qstart = int(stop_col[b]) - int(lf[int(stop_row[b])])
+            ok = native.band_check_walk(
+                gap, d, r, lf, rt, int(last_row[b]), int(last_col[b]),
+                lb, int(stop_row[b]),
+            )
+        else:
+            qstart = int(stop_col[b])
+            ok = True
+        states.append(
+            WalkState(
+                mode=mode,
+                score=int(score[b]),
+                last_row=int(last_row[b]),
+                last_col_abs=int(last_col[b]),
+                stop_row=int(stop_row[b]),
+                query_start=qstart,
+                dirs=d,
+                rows=r,
+                band_check_ok=bool(ok),
+            )
+        )
+    return states

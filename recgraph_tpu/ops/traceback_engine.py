@@ -1,0 +1,115 @@
+"""On-device traceback for POA modes 0-3.
+
+The fill kernels produce packed direction planes of size O(n * L) per
+read; shipping those to the host dominates end-to-end time (PCIe, or
+worse).  This walker replays the traceback ON DEVICE as a batched
+`lax.fori_loop` over the packed planes and returns only the compact
+walk — O(|alignment|) per read, a ~100x transfer reduction:
+
+    dirs  int32[B, W]   direction code per emitted step, bit 4 set for
+                        steps emitted inside an X/Y gap chain
+                        (gaf_output.rs:232-248 — chain-interior cells
+                        skip the band checks, so the flag lets the host
+                        replay both the GAF walk and the band check)
+    rows  int32[B, W]   graph row at each step (before the move)
+    steps int32[B]      emitted step count
+    stop_row/stop_col   where the walk terminated ('O' cell)
+
+Moves in ABSOLUTE read columns (the reference's band-relative
+reindexing j + left_row - left_pred collapses to "column unchanged"
+in absolute coordinates; D/L decrement the column).
+
+Semantics mirror the four walkers in oracle/gaf_emit.py cell-for-cell.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .poa_engine import O, D, LOW_D, L_DIR, U_DIR, X_DIR, Y_DIR
+
+CHAIN_FLAG = 16
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "max_steps"))
+def walk_poa(packed, packed_x, packed_y, last_row, last_col_abs, gap, max_steps):
+    """packed*: int32[B, n, Lp] planes; last_*: int32[B]."""
+    B, n, Lp = packed.shape
+    pf = packed.reshape(B, n * Lp)
+    pxf = packed_x.reshape(B, n * Lp) if gap else pf
+    pyf = packed_y.reshape(B, n * Lp) if gap else pf
+    bidx = jnp.arange(B)
+
+    def cell(flat, row, col):
+        idx = row * Lp + col
+        return jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+
+    def body(_, st):
+        row, col, chain, k, done, dirs, rows = st
+        c = cell(pf, row, col)
+        dir_ = c & 15
+        pred = c >> 4
+        cx = cell(pxf, row, col)
+        cy = cell(pyf, row, col)
+        px_is_x = (cx & 15) == X_DIR
+        py_is_y = (cy & 15) == Y_DIR
+        py_pred = cy >> 4
+
+        in_x = chain == 1
+        in_y = chain == 2
+        dispatch = chain == 0
+
+        is_o = dispatch & (dir_ == O)
+        done_new = done | is_o
+
+        # chain continuation / exit
+        x_cont = in_x & px_is_x
+        x_exit = in_x & ~px_is_x
+        y_cont = in_y & py_is_y
+        y_exit = in_y & ~py_is_y
+
+        # dispatch moves (gaf_output.rs walkers)
+        is_d = dispatch & ((dir_ == D) | (dir_ == LOW_D)) & ~done_new
+        is_l = dispatch & (dir_ == L_DIR) & ~done_new
+        is_u = dispatch & (dir_ == U_DIR) & ~done_new
+        enter_x = is_l & px_is_x & jnp.bool_(gap)
+        enter_y = is_u & py_is_y & jnp.bool_(gap)
+        plain_l = is_l & ~enter_x
+        plain_u = is_u & ~enter_y
+
+        emit = (~done) & (is_d | plain_l | plain_u | enter_x | enter_y
+                          | x_cont | y_cont)
+        code = jnp.where(is_d, dir_, 0)
+        code = jnp.where(plain_l | enter_x, L_DIR, code)
+        code = jnp.where(plain_u | enter_y, U_DIR, code)
+        code = jnp.where(x_cont, L_DIR + CHAIN_FLAG, code)
+        code = jnp.where(y_cont, U_DIR + CHAIN_FLAG, code)
+
+        dirs = dirs.at[bidx, k].set(jnp.where(emit, code, dirs[bidx, k]))
+        rows = rows.at[bidx, k].set(jnp.where(emit, row, rows[bidx, k]))
+
+        col = jnp.where(is_d | plain_l | enter_x | x_cont, col - 1, col)
+        row = jnp.where(is_d | plain_u, pred, row)
+        row = jnp.where(enter_y | y_cont, py_pred, row)
+        chain = jnp.where(enter_x, 1, jnp.where(enter_y, 2, chain))
+        chain = jnp.where(x_exit | y_exit, 0, chain)
+        k = k + emit.astype(jnp.int32)
+        return row, col, chain, k, done_new, dirs, rows
+
+    z = jnp.zeros((B,), jnp.int32)
+    dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
+    rows0 = jnp.zeros((B, max_steps), jnp.int32)
+    st = (last_row, last_col_abs, z, z, jnp.zeros((B,), bool), dirs0, rows0)
+    row, col, chain, k, done, dirs, rows = jax.lax.fori_loop(
+        0, max_steps, body, st
+    )
+    return dirs, rows, k, row, col
+
+
+def max_walk_steps(n: int, Lp: int) -> int:
+    # every emit strictly decreases row or col; chain exits add at most
+    # one non-emitting iteration per chain
+    return 2 * (n + Lp) + 8

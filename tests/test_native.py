@@ -70,3 +70,34 @@ def test_native_emit_identical(example_paths, mode):
                 packed, px, pyy, lefts, rights, len(seqs[i]), st.last_row,
                 st.last_col,
             )
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_device_walk_identical(example_paths, mode):
+    """On-device traceback + native walk emitter == plane-based path."""
+    from recgraph_tpu.align.pipeline import _hofp_ids
+
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    seqs, names = seqs[:4], names[:4]
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    sm = ScoreMatrix.create("none", 2, -4)
+    btas = [int(1 + 0.01 * len(s)) for s in seqs]
+    hofp_ids = _hofp_ids(g)
+    emitters = {
+        0: gaf_emit.gaf_of_global_abpoa,
+        1: gaf_emit.gaf_of_local_poa,
+        2: gaf_emit.gaf_of_gap_abpoa,
+        3: gaf_emit.gaf_of_gap_local_poa,
+    }
+    plane_states = poa_engine.run_batch(mode, seqs, g, sm, -4, -2, btas)
+    walk_states = poa_engine.run_batch_walks(mode, seqs, g, sm, -4, -2, btas)
+    for i, (ps, ws) in enumerate(zip(plane_states, walk_states)):
+        ref = emitters[mode](ps, seqs[i], names[i], False, g.handle_pos).to_string()
+        tail = native.gaf_emit_poa_walk(
+            ws.dirs, ws.rows, ws.stop_row, ws.query_start, ws.last_row,
+            ws.last_col_abs, hofp_ids, len(seqs[i]), False,
+        )
+        assert f"{names[i]}\t{tail}" == ref
+        assert ws.band_check_ok == ps.band_check_ok
+        assert ws.score == ps.score
