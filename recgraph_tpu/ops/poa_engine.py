@@ -386,7 +386,22 @@ def fill_local_best(dg, table, seq, L, g=None):
     return _fill_local(dg, table, seq, L) + (0,)
 
 
+CHUNK_READS = 512  # per-dispatch read chunk: bounds device memory at
+                   # [chunk, n, Lp] planes and keeps the XLA scan carry
+                   # in its in-place-update regime
+
+
 def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
+    if len(sequences) > CHUNK_READS:
+        out = []
+        for c in range(0, len(sequences), CHUNK_READS):
+            out.extend(
+                run_batch(
+                    mode, sequences[c : c + CHUNK_READS], g, sm, o, e,
+                    btas[c : c + CHUNK_READS],
+                )
+            )
+        return out
     dg = poa_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
     seq, L = encode_reads(sequences)
@@ -476,6 +491,17 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
     """
     from . import traceback_engine
     from .. import native
+
+    if len(sequences) > CHUNK_READS:
+        out = []
+        for c in range(0, len(sequences), CHUNK_READS):
+            out.extend(
+                run_batch_walks(
+                    mode, sequences[c : c + CHUNK_READS], g, sm, o, e,
+                    btas[c : c + CHUNK_READS],
+                )
+            )
+        return out
 
     dg = poa_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
