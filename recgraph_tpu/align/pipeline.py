@@ -212,7 +212,8 @@ def _run(opts: Options) -> None:
         if opts.engine == "jax":
             from ..ops import pathwise_engine
 
-            records = pathwise_engine.run_batch(mode, sequences, g, sm)
+            # on-device traceback keeps the score planes on device
+            records = pathwise_engine.run_batch_walks(mode, sequences, g, sm)
             for i, rec in enumerate(records):
                 rec.query_name = names[i]
                 writer.write(rec.to_string(), i)

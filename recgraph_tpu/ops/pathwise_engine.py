@@ -22,6 +22,8 @@ gathers are a flat take_along_axis on the fused (path, row) axis).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +32,7 @@ from ..io.gaf import GafRecord
 from ..oracle import pathwise
 from ..scoring import GAP
 from .encode import path_device_graph, encode_reads
+from .poa_engine import D, LOW_D, L_DIR, U_DIR
 
 NEG = -(1 << 28)
 
@@ -181,6 +184,184 @@ def run_batch(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
             records.append(
                 pathwise.build_alignment(
                     None, g, s, sm, bps[b], nodes[b], not semiglobal, plane=plane
+                )
+            )
+    return records
+
+
+# ---------------------------------------------------------------------------
+# on-device traceback (mirrors oracle/pathwise.build_alignment)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("global_mode", "max_steps"))
+def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
+                   ending_node, global_mode, max_steps):
+    """Batched traceback over dense best-path planes.
+
+    plane: int32[B, n, Lp] absolute scores on the chosen path;
+    pred_of_bp: int32[B, n] predecessor row of the chosen path per node
+    (-1 where the path does not cover the node — reproduces the
+    reference's predecessor=None fallback, pathwise_alignment_output.rs:31-47).
+    Emits one step per iteration: main d/u/l recompute walk, then the
+    trailing-L and (global) leading-U tails.
+    """
+    from ..scoring import GAP
+
+    B, n, Lp = plane.shape
+    pf = plane.reshape(B, n * Lp)
+    bidx = jnp.arange(B)
+
+    def at(i, j):
+        return jnp.take_along_axis(pf, (i * Lp + j)[:, None], axis=1)[:, 0]
+
+    def body(_, st):
+        i, j, k, done, dirs, rows = st
+        main = (i > 0) & (j > 0) & ~done
+        ltail = (i == 0) & (j > 0) & ~done
+        utail = jnp.bool_(global_mode) & (i > 0) & (j == 0) & ~done
+        done_new = done | ~(main | ltail | utail)
+
+        is_start = node_start[i]
+        pred_e = jnp.take_along_axis(pred_of_bp, i[:, None], 1)[:, 0]
+        covered = pred_e >= 0
+        pred = jnp.where(is_start, jnp.where(covered, pred_e, i - 1), i - 1)
+        code_i = codes[i]
+        seq_j = jnp.take_along_axis(seq, j[:, None], 1)[:, 0]
+        zero_case = is_start & ~covered
+        d = jnp.where(zero_case, 0, at(jnp.where(is_start, jnp.maximum(pred_e, 0), i - 1), j - 1) + table[code_i, seq_j])
+        u = jnp.where(zero_case, 0, at(jnp.where(is_start, jnp.maximum(pred_e, 0), i - 1), j) + table[code_i, GAP])
+        l = jnp.where(zero_case, 0, at(i, j - 1) + table[GAP, seq_j])
+        mx = jnp.maximum(jnp.maximum(d, u), l)
+        is_d = mx == d
+        is_u = ~is_d & (mx == u)
+        match = seq_j == code_i
+        code = jnp.where(is_d, jnp.where(match, D, LOW_D), jnp.where(is_u, U_DIR, L_DIR))
+        code = jnp.where(ltail, L_DIR, code)
+        code = jnp.where(utail, U_DIR, code)
+
+        emit = main | ltail | utail
+        dirs = dirs.at[bidx, k].set(jnp.where(emit, code, dirs[bidx, k]))
+        rows = rows.at[bidx, k].set(jnp.where(emit, i, rows[bidx, k]))
+
+        i_new = jnp.where(main & (is_d | is_u), pred, i)
+        i_new = jnp.where(utail, pred, i_new)
+        j_new = jnp.where(main & (is_d | ~(is_d | is_u)), j - 1, j)
+        j_new = jnp.where(ltail, j - 1, j_new)
+        k = k + emit.astype(jnp.int32)
+        return i_new, j_new, k, done_new, dirs, rows
+
+    z = jnp.zeros((B,), jnp.int32)
+    dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
+    rows0 = jnp.zeros((B, max_steps), jnp.int32)
+    st = (ending_node, L - 1, z, jnp.zeros((B,), bool), dirs0, rows0)
+    i, j, k, done, dirs, rows = jax.lax.fori_loop(0, max_steps, body, st)
+    return dirs, rows, k, i
+
+
+_DIR_CHARS = {1: "D", 2: "d", 3: "L", 4: "U"}
+
+
+def _record_from_walk(dirs, rows, n_steps, stop_i, g, bp, ending_node, score):
+    """Assemble the GafRecord exactly as build_alignment does."""
+    from ..oracle.gaf_emit import build_cigar
+    from ..oracle.pathwise import get_path_len_start_end
+
+    ids = g.nodes_id_pos
+    lnz = g.lnz
+    cigar = []
+    handles = []
+    path_seq = []
+    path_length = 0
+    for k in range(n_steps):
+        c = int(dirs[k])
+        cigar.append(_DIR_CHARS[c])
+        if c in (1, 2, 4):
+            r = int(rows[k])
+            handles.append(int(ids[r]))
+            path_seq.append(lnz[r])
+            path_length += 1
+    cigar.reverse()
+    path_seq.reverse()
+    handle_dedup = []
+    for h in handles:
+        if not handle_dedup or handle_dedup[-1] != h:
+            handle_dedup.append(h)
+    handle_dedup.reverse()
+    path_len, path_start, path_end = get_path_len_start_end(
+        ids, stop_i if stop_i == 0 else stop_i + 1, ending_node, path_length
+    )
+    comments = (
+        f"{build_cigar(cigar)}, best path: {bp}, score: {score}"
+        f"\t{''.join(path_seq)}"
+    )
+    return handle_dedup, path_len, path_start, path_end, comments
+
+
+def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
+    """Modes 4/5 with on-device traceback (planes never leave the device)."""
+    from ..graph.pathgraph import pathwise_meta
+
+    dg = path_device_graph(g)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    semiglobal = mode == 5
+    n, P = dg.n, dg.paths_number
+    rep_of, pred_of = pathwise_meta(g)
+    pred_of_full = jnp.asarray(pred_of)                    # [n, P]
+    records = []
+    Lp_all = max(len(s) for s in sequences)
+    per_read = P * n * Lp_all * 4
+    chunk = max(1, int(chunk_bytes // per_read))
+    W = n + Lp_all + 4
+    for c0 in range(0, len(sequences), chunk):
+        chunk_seqs = sequences[c0 : c0 + chunk]
+        seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
+        A = _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal))
+        finalcol = np.asarray(jax.device_get(_final_column(A, L)))
+        bps, nodes, scores = [], [], []
+        for b in range(len(chunk_seqs)):
+            if semiglobal:
+                bp, node = _endings_semiglobal(finalcol[b], g)
+            else:
+                bp, node = _endings_global(finalcol[b], g)
+            bps.append(bp)
+            nodes.append(node)
+            scores.append(int(finalcol[b, bp, node]))
+        bps_j = jnp.asarray(bps, dtype=jnp.int32)
+        planes = _extract_plane(A, bps_j)
+        pred_of_bp = jnp.take_along_axis(
+            jnp.broadcast_to(pred_of_full.T[None], (len(chunk_seqs), P, n)),
+            bps_j[:, None, None], axis=1,
+        )[:, 0]
+        dirs, rows, steps, stop_i = _walk_pathwise(
+            planes, seq, L, table, jnp.asarray(g.node_start),
+            dg.codes, pred_of_bp, jnp.asarray(nodes, dtype=jnp.int32),
+            global_mode=not semiglobal, max_steps=W,
+        )
+        del A, planes
+        dirs, rows, steps, stop_i = jax.device_get((dirs, rows, steps, stop_i))
+        for b, s in enumerate(chunk_seqs):
+            handle_dedup, path_len, path_start, path_end, comments = (
+                _record_from_walk(
+                    dirs[b], rows[b], int(steps[b]), int(stop_i[b]), g,
+                    bps[b], nodes[b], scores[b],
+                )
+            )
+            records.append(
+                GafRecord(
+                    query_name="Temp",
+                    query_length=len(s) - 1,
+                    query_start=0,
+                    query_end=len(s) - 2,
+                    strand="+",
+                    path=handle_dedup,
+                    path_length=path_len,
+                    path_start=path_start,
+                    path_end=path_end,
+                    residue_matches_number=0,
+                    alignment_block_length="*",
+                    mapping_quality="*",
+                    comments=comments,
                 )
             )
     return records

@@ -85,3 +85,14 @@ def test_rev_fill_matrix_equal(corpus):
             W = ro.rev_align(mode, ro.get_rev_sequence(seqs[b]), rg, sm)
             Wd = Ar[b].transpose(1, 2, 0)[:, : W.shape[1], :]
             assert np.array_equal(W, Wd)
+
+
+@pytest.mark.parametrize("mode", [4, 5])
+def test_pathwise_device_walk(corpus, mode):
+    """On-device traceback path == oracle, incl. mixed read lengths."""
+    seqs, names, g, sm = corpus
+    mixed = [seqs[0], seqs[1][:80], seqs[2]]
+    recs = pathwise_engine.run_batch_walks(mode, mixed, g, sm)
+    fn = pathwise.exec_global if mode == 4 else pathwise.exec_semiglobal
+    for i, s in enumerate(mixed):
+        assert fn(s, g, sm).to_string() == recs[i].to_string()
