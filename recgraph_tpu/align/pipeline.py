@@ -242,7 +242,7 @@ def _run(opts: Options) -> None:
         if opts.engine == "jax":
             from ..ops import recombination_engine
 
-            records = recombination_engine.run_batch(
+            records = recombination_engine.run_batch_walks(
                 mode,
                 sequences,
                 g,

@@ -196,7 +196,7 @@ def run_batch(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
 
 @functools.partial(jax.jit, static_argnames=("global_mode", "max_steps"))
 def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
-                   ending_node, global_mode, max_steps):
+                   ending_node, global_mode, max_steps, start_j=None):
     """Batched traceback over dense best-path planes.
 
     plane: int32[B, n, Lp] absolute scores on the chosen path;
@@ -254,7 +254,8 @@ def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
     z = jnp.zeros((B,), jnp.int32)
     dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
     rows0 = jnp.zeros((B, max_steps), jnp.int32)
-    st = (ending_node, L - 1, z, jnp.zeros((B,), bool), dirs0, rows0)
+    j0 = (L - 1) if start_j is None else start_j
+    st = (ending_node, j0, z, jnp.zeros((B,), bool), dirs0, rows0)
     i, j, k, done, dirs, rows = jax.lax.fori_loop(0, max_steps, body, st)
     return dirs, rows, k, i
 

@@ -23,6 +23,8 @@ column, and GAF traceback replay over two extracted score planes.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +38,13 @@ from ..io.gaf import GafRecord
 from ..oracle import recombination as rec_oracle
 from ..scoring import GAP, SENTINEL
 from .encode import PathDeviceGraph, path_device_graph, encode_reads
-from .pathwise_engine import _fill_pathwise, _final_column, _extract_plane
+from .pathwise_engine import (
+    _fill_pathwise, _final_column, _extract_plane, _walk_pathwise,
+    _record_from_walk,
+)
+from .poa_engine import D as D_C, LOW_D as LOW_D_C, L_DIR as L_C, U_DIR as U_C
+
+_DIRCH = {1: "D", 2: "d", 3: "L", 4: "U"}
 
 NEG = -(1 << 28)
 NEGF = jnp.float32(-3.0e38)
@@ -358,6 +366,318 @@ def run_batch(
                         int(fen[b]), int(rsn[b]), int(rec_col[b]),
                         (float(best[b]), int(dms[fen[b], rsn[b]])),
                         global_mode=(mode == 8),
+                    )
+                )
+    return records
+
+
+# ---------------------------------------------------------------------------
+# on-device traceback (walks) for modes 8/9
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("global_mode", "max_steps"))
+def _walk_reverse(plane, seq, L, table, node_start_rev, codes, succ_of_rp,
+                  start_i, start_j, global_mode, max_steps):
+    """Reverse-matrix traceback (recombination_output.rs:39-98,:389-449).
+
+    Walks from the split point towards the sinks: moves are i -> its
+    successor on the chosen path (succ_of_rp, -1 off-path) and j -> j+1;
+    rev_seq[j] == seq[j+1].  Emits (dir|flags, row); returns
+    rev_ending_node (the i of the last main-loop cell, :481).
+    """
+    from ..scoring import GAP as GAPC
+
+    B, n, Lp = plane.shape
+    pf = plane.reshape(B, n * Lp)
+    bidx = jnp.arange(B)
+
+    def at(i, j):
+        return jnp.take_along_axis(pf, (i * Lp + j)[:, None], axis=1)[:, 0]
+
+    def body(_, st):
+        i, j, k, done, rev_end, dirs, rows = st
+        main = (i > 0) & (i < n - 1) & (j < L - 1) & ~done
+        ltail = (j < L - 1) & ~main & ~done
+        utail = jnp.bool_(global_mode) & (i < n - 1) & (j >= L - 1) & ~main & ~ltail & ~done
+        done_new = done | ~(main | ltail | utail)
+
+        is_end = node_start_rev[i]                      # marked node ends
+        succ_e = jnp.take_along_axis(succ_of_rp, i[:, None], 1)[:, 0]
+        covered = succ_e >= 0
+        succ = jnp.where(is_end, jnp.where(covered, succ_e, i + 1), i + 1)
+        code_i = codes[i]
+        rseq_j = jnp.take_along_axis(seq, jnp.minimum(j + 1, Lp - 1)[:, None], 1)[:, 0]
+        zero_case = is_end & ~covered
+        s_row = jnp.where(is_end, jnp.maximum(succ_e, 0), i + 1)
+        d = jnp.where(zero_case, 0, at(s_row, j + 1) + table[code_i, rseq_j])
+        u = jnp.where(zero_case, 0, at(s_row, j) + table[code_i, GAPC])
+        l = jnp.where(zero_case, 0, at(i, j + 1) + table[GAPC, rseq_j])
+        mx = jnp.maximum(jnp.maximum(d, u), l)
+        is_d = mx == d
+        is_u = ~is_d & (mx == u)
+        match = rseq_j == code_i
+        code = jnp.where(is_d, jnp.where(match, D_C, LOW_D_C),
+                         jnp.where(is_u, U_C, L_C))
+        code = jnp.where(ltail, L_C, code)
+        code = jnp.where(utail, U_C, code)
+
+        rev_end = jnp.where(main, i, rev_end)
+        emit = main | ltail | utail
+        dirs = dirs.at[bidx, k].set(jnp.where(emit, code, dirs[bidx, k]))
+        rows = rows.at[bidx, k].set(jnp.where(emit, i, rows[bidx, k]))
+
+        i_new = jnp.where(main & (is_d | is_u), succ, i)
+        i_new = jnp.where(utail, succ, i_new)
+        j_new = jnp.where(main & (is_d | ~(is_d | is_u)), j + 1, j)
+        j_new = jnp.where(ltail, j + 1, j_new)
+        k = k + emit.astype(jnp.int32)
+        return i_new, j_new, k, done_new, rev_end, dirs, rows
+
+    z = jnp.zeros((B,), jnp.int32)
+    dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
+    rows0 = jnp.zeros((B, max_steps), jnp.int32)
+    st = (start_i, start_j, z, jnp.zeros((B,), bool), start_i, dirs0, rows0)
+    i, j, k, done, rev_end, dirs, rows = jax.lax.fori_loop(0, max_steps, body, st)
+    return dirs, rows, k, rev_end
+
+
+def _walk_pieces(dirs, rows, n_steps, ids, lnz):
+    """(cigar chars, handles, path chars, path_length) from one walk."""
+    cigar, handles, pseq = [], [], []
+    plen = 0
+    for k in range(n_steps):
+        c = int(dirs[k])
+        cigar.append(_DIRCH[c])
+        if c in (1, 2, 4):
+            r = int(rows[k])
+            handles.append(int(ids[r]))
+            pseq.append(lnz[r])
+            plen += 1
+    return cigar, handles, pseq, plen
+
+
+def _gaf_rec_from_walks(fw, rv, g, fp, rp, fen, rsn, rev_ending_node,
+                        best_score, seq_len):
+    """Stitch forward+reverse walks into the rec GAF record.
+
+    Mirrors _gaf_rec (recombination_output.rs:12-237,:363-631) with the
+    walks replacing the matrix re-walk.
+    """
+    from ..oracle.gaf_emit import build_cigar
+    from ..oracle.recombination import get_node_offset, get_rec_path_len_start_end, _fmt_f32
+
+    ids = g.nodes_id_pos
+    fw_cig, fw_h, fw_ps, fw_len, stop_i = fw
+    rv_cig, rv_h, rv_ps, rv_len = rv
+    rec_edge = len(fw_ps) - 1
+    fw_cig = list(reversed(fw_cig)) + rv_cig
+    handles = list(reversed(fw_h)) + rv_h
+    handles_d = []
+    for h in handles:
+        if not handles_d or handles_d[-1] != h:
+            handles_d.append(h)
+    pseq = "".join(reversed(fw_ps)) + "".join(rv_ps)
+    start = stop_i if stop_i == 0 else stop_i + 1
+    path_len, path_start, path_end = get_rec_path_len_start_end(
+        ids, fen, rsn, start, rev_ending_node, fw_len, rv_len
+    )
+    fen_off = get_node_offset(ids, fen)
+    rsn_off = get_node_offset(ids, rsn)
+    recombination = (
+        f"recombination path {fp} {rp}, "
+        f"nodes {ids[fen]}[{fen_off}] {ids[rsn]}[{rsn_off}], "
+        f"score: {_fmt_f32(best_score[0])}, displacement: {best_score[1]}"
+        f"\t{pseq}\t{rec_edge}"
+    )
+    return GafRecord(
+        query_name="Temp",
+        query_length=seq_len - 1,
+        query_start=0,
+        query_end=seq_len - 2,
+        strand="+",
+        path=handles_d,
+        path_length=path_len,
+        path_start=path_start,
+        path_end=path_end,
+        residue_matches_number=0,
+        alignment_block_length="*",
+        mapping_quality="*",
+        comments=f"{build_cigar(fw_cig)}, {recombination}",
+    )
+
+
+def run_batch_walks(
+    mode, sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw,
+    chunk_bytes=1 << 29,
+) -> list[GafRecord]:
+    """Modes 8/9 with on-device traceback (planes stay on device)."""
+    from ..graph.pathgraph import pathwise_meta
+
+    dg = path_device_graph(g)
+    dgr = rev_device_graph(rg)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    n, P = dg.n, dg.paths_number
+    I = n - 2
+    lnz = g.lnz
+    ids = g.nodes_id_pos
+
+    dms = nodes_displacement_matrix(g, rg)
+    interior = np.arange(1, n - 1)
+    penalty = (
+        np.float32(base_rec_cost)
+        + np.float32(multi_rec_cost) * dms[1 : n - 1, 1 : n - 1].astype(np.float32)
+    )
+    fw_edge = ids[interior] != ids[interior + 1]
+    rv_edge = ids[interior] != ids[interior - 1]
+    onedge = jnp.asarray(fw_edge[:, None] & rv_edge[None, :])
+    diff_node = jnp.asarray(ids[interior][:, None] != ids[interior][None, :])
+    penalty = jnp.asarray(penalty)
+    paths_on = jnp.asarray(g.paths_nodes)
+    rep_f, pred_f = pathwise_meta(g)
+    pred_f_full = jnp.asarray(pred_f)                      # [n, P] fwd preds
+    rep_r, pred_r = pathwise_meta_rev(rg)
+    pred_r_full = jnp.asarray(pred_r)                      # [n, P] successors
+
+    split = _split_cache.get(I)
+    if split is None:
+        split = _split_search_fn(I)
+        _split_cache[I] = split
+
+    records: list[GafRecord] = []
+    Lp_all = max(len(s) for s in sequences)
+    per_read = P * n * Lp_all * 4 * 2
+    chunk = max(1, int(chunk_bytes // per_read))
+    W = n + Lp_all + 4
+    for c0 in range(0, len(sequences), chunk):
+        chunk_seqs = sequences[c0 : c0 + chunk]
+        B = len(chunk_seqs)
+        seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
+        Af = _fill_pathwise(dg, table, seq, jnp.bool_(mode == 9))
+        Ar = _fill_pathwise_rev(dgr, table, seq, L, jnp.bool_(mode == 8))
+
+        finalcol = np.asarray(jax.device_get(_final_column(Af, L)))
+        init_best = np.zeros(B, dtype=np.float32)
+        base_paths = np.zeros(B, dtype=np.int32)
+        for b in range(B):
+            init_best[b], base_paths[b] = _baseline(mode, finalcol[b], g)
+
+        fmax, farg = _path_argmax(Af)
+        rmax, rarg = _path_argmax(Ar)
+        vf = jnp.take_along_axis(
+            jnp.broadcast_to(paths_on[None], (B, n, P)), farg, axis=2
+        )
+        vr = jnp.take_along_axis(
+            jnp.broadcast_to(paths_on[None], (B, n, P)), rarg, axis=2
+        )
+        jcol = np.arange(Lp_all)
+        Lnp = np.asarray(jax.device_get(L))
+        oob = np.maximum((Lnp * (1.0 - rbw) / 2.0).astype(np.int64), 1)
+        active = jnp.asarray(
+            (jcol[None, :] >= oob[:, None]) & (jcol[None, :] < (Lnp - oob)[:, None])
+        )
+        best, taken, fen, rsn, fp, rp, rec_col = (
+            np.asarray(jax.device_get(x))
+            for x in split(
+                fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
+                rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
+                penalty, diff_node, onedge, active,
+                jnp.asarray(init_best),
+            )
+        )
+        fp_final = np.where(taken, fp, base_paths)
+        rp_final = np.where(taken, rp, base_paths)
+
+        # per-read forward walk start: (fen, rec_col) when a split was
+        # taken, else the mode's no-rec ending at the last column
+        start_i = np.zeros(B, dtype=np.int32)
+        start_j = np.zeros(B, dtype=np.int32)
+        for b in range(B):
+            if taken[b]:
+                start_i[b] = fen[b]
+                start_j[b] = rec_col[b]
+            else:
+                bp = int(fp_final[b])
+                if mode == 8:
+                    end_node = 0
+                    for node, paths in g.preds_and_paths(g.n - 1):
+                        if paths[bp]:
+                            end_node = node
+                else:
+                    vals = finalcol[b, bp, 1 : g.n - 1].astype(np.int64)
+                    covered = g.paths_nodes[1 : g.n - 1, bp]
+                    vals = np.where(covered, vals, np.iinfo(np.int64).min)
+                    end_node = 1 + int(vals.argmax())
+                start_i[b] = end_node
+                start_j[b] = Lnp[b] - 1
+
+        fp_j = jnp.asarray(fp_final, jnp.int32)
+        rp_j = jnp.asarray(rp_final, jnp.int32)
+        fplane = _extract_plane(Af, fp_j)
+        rplane = _extract_plane(Ar, rp_j)
+        pred_of_bp = jnp.take_along_axis(
+            jnp.broadcast_to(pred_f_full.T[None], (B, P, n)),
+            fp_j[:, None, None], axis=1,
+        )[:, 0]
+        succ_of_rp = jnp.take_along_axis(
+            jnp.broadcast_to(pred_r_full.T[None], (B, P, n)),
+            rp_j[:, None, None], axis=1,
+        )[:, 0]
+        fdirs, frows, fsteps, fstop = _walk_pathwise(
+            fplane, seq, L, table, jnp.asarray(g.node_start), dg.codes,
+            pred_of_bp, jnp.asarray(start_i), global_mode=(mode == 8),
+            max_steps=W, start_j=jnp.asarray(start_j),
+        )
+        rdirs, rrows, rsteps, rev_end = _walk_reverse(
+            rplane, seq, L, table, jnp.asarray(rg.node_start), dg.codes,
+            succ_of_rp, jnp.asarray(rsn.astype(np.int32)),
+            jnp.asarray(rec_col.astype(np.int32)),
+            global_mode=(mode == 8), max_steps=W,
+        )
+        del Af, Ar, fplane, rplane
+        fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps, rev_end = (
+            jax.device_get(
+                (fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps, rev_end)
+            )
+        )
+        for b, s in enumerate(chunk_seqs):
+            bp = int(fp_final[b])
+            fw_cig, fw_h, fw_ps, fw_len = _walk_pieces(
+                fdirs[b], frows[b], int(fsteps[b]), ids, lnz
+            )
+            if fp_final[b] == rp_final[b]:
+                score = int(finalcol[b, bp, start_i[b]])
+                hd, plen, pstart, pend, comments = _record_from_walk(
+                    fdirs[b], frows[b], int(fsteps[b]), int(fstop[b]), g,
+                    bp, int(start_i[b]), score,
+                )
+                # no-rec comments have no path-seq difference: identical
+                records.append(
+                    GafRecord(
+                        query_name="Temp",
+                        query_length=len(s) - 1,
+                        query_start=0,
+                        query_end=len(s) - 2,
+                        strand="+",
+                        path=hd,
+                        path_length=plen,
+                        path_start=pstart,
+                        path_end=pend,
+                        residue_matches_number=0,
+                        alignment_block_length="*",
+                        mapping_quality="*",
+                        comments=comments,
+                    )
+                )
+            else:
+                rv = _walk_pieces(rdirs[b], rrows[b], int(rsteps[b]), ids, lnz)
+                records.append(
+                    _gaf_rec_from_walks(
+                        (fw_cig, fw_h, fw_ps, fw_len, int(fstop[b])),
+                        rv, g, int(fp_final[b]), int(rp_final[b]),
+                        int(fen[b]), int(rsn[b]), int(rev_end[b]),
+                        (float(best[b]), int(dms[fen[b], rsn[b]])),
+                        len(s),
                     )
                 )
     return records

@@ -96,3 +96,18 @@ def test_pathwise_device_walk(corpus, mode):
     fn = pathwise.exec_global if mode == 4 else pathwise.exec_semiglobal
     for i, s in enumerate(mixed):
         assert fn(s, g, sm).to_string() == recs[i].to_string()
+
+
+@pytest.mark.parametrize("mode", [8, 9])
+def test_recombination_device_walk(corpus, mode):
+    """Modes 8/9 on-device traceback == oracle (rec and no-rec cases)."""
+    seqs, names, g, sm = corpus
+    rg = g.reverse()
+    dms = nodes_displacement_matrix(g, rg)
+    for brc, mrc, rbw in [(4, 0.1, 1.0), (0, 0.0, 0.9)]:
+        recs = recombination_engine.run_batch_walks(
+            mode, seqs, g, rg, sm, brc, mrc, rbw
+        )
+        for i, s in enumerate(seqs):
+            r_o = ro.exec_mode(mode, s, g, rg, sm, brc, mrc, dms, rbw)
+            assert r_o.to_string() == recs[i].to_string()

@@ -1,0 +1,66 @@
+"""Golden GAF regression tests.
+
+tests/goldens/*.gaf are the oracle's outputs for the BASELINE.json
+configs on the example corpus (generated once; the oracle is the
+validated port of the reference's per-cell semantics).  The production
+jax engine must reproduce them byte-for-byte.
+"""
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from recgraph_tpu.align.pipeline import Options, run
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+CONFIGS = {
+    "mode0": dict(alignment_mode=0),
+    "mode1": dict(alignment_mode=1),
+    "mode1_hoxd70": dict(alignment_mode=1, matrix="HOXD70"),
+    "mode2": dict(alignment_mode=2),
+    "mode3": dict(alignment_mode=3),
+    "mode4": dict(alignment_mode=4),
+    "mode5": dict(alignment_mode=5),
+}
+
+SLOW_CONFIGS = {
+    "mode8": dict(alignment_mode=8),
+    "mode9": dict(alignment_mode=9),
+    "mode8_R10_r2_B05": dict(
+        alignment_mode=8, base_rec_cost=10, multi_rec_cost=2.0,
+        rec_band_width=0.5,
+    ),
+}
+
+
+def _run_engine(example_paths, **kw):
+    reads_fa, graph_gfa = example_paths
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run(
+            Options(
+                sequence_path=reads_fa, graph_path=graph_gfa, engine="jax", **kw
+            )
+        )
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_golden(example_paths, name):
+    golden = os.path.join(GOLDEN_DIR, f"{name}.gaf")
+    if not os.path.exists(golden):
+        pytest.skip("golden not generated")
+    got = _run_engine(example_paths, **CONFIGS[name])
+    assert got == open(golden).read()
+
+
+@pytest.mark.parametrize("name", sorted(SLOW_CONFIGS))
+def test_golden_recombination(example_paths, name):
+    golden = os.path.join(GOLDEN_DIR, f"{name}.gaf")
+    if not os.path.exists(golden):
+        pytest.skip("golden not generated")
+    got = _run_engine(example_paths, **SLOW_CONFIGS[name])
+    assert got == open(golden).read()
