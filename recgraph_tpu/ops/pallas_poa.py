@@ -227,13 +227,14 @@ def fill_local(dg, table, seq, L, Bt=None, interpret=False):
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
     n = dg.n
     codes7 = jnp.arange(7, dtype=jnp.int32)
-    sub = table[codes7][:, seq]                    # [7, B, Lp]
+    tT = table.T                                   # (seq, lnz) order
+    sub = tT[codes7][:, seq]                       # [7, B, Lp]
     eq = (seq[None, :, :] == codes7[:, None, None]).astype(jnp.int32)
     gseq = table[seq, GAP]
     G = jnp.cumsum(gseq, axis=1).astype(jnp.int32)
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     valid = (jcol[None, :] < L[:, None]).astype(jnp.int32)
-    gnode = table[dg.codes, GAP]
+    gnode = tT[dg.codes, GAP]
     return _fill_local_pallas(
         dg.pred_idx, dg.node_start.astype(jnp.int32), gnode, dg.codes,
         sub, eq, gseq, G, valid, n=n, Bt=Bt, interpret=interpret,

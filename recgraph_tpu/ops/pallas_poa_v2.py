@@ -253,13 +253,14 @@ def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False, dtype=None):
         )
         _cache[key] = fn
     codes7 = jnp.arange(7, dtype=jnp.int32)
-    sub = table[codes7][:, seq].astype(dtype)
+    tT = table.T                                   # (seq, lnz) order
+    sub = tT[codes7][:, seq].astype(dtype)
     eq = (seq[None, :, :] == codes7[:, None, None]).astype(dtype)
     gseq = table[seq, GAP].astype(dtype)
     G = jnp.cumsum(table[seq, GAP], axis=1).astype(dtype)
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     valid = (jcol[None, :] < L[:, None]).astype(dtype)
-    gnode = table[dg.codes, GAP]
+    gnode = tT[dg.codes, GAP]
     nrows = jnp.asarray([n - 1], dtype=jnp.int32)
     packed, bv, bi, bj = fn(
         dg.pred_idx, dg.node_start.astype(jnp.int32), gnode, dg.codes, nrows,

@@ -255,14 +255,18 @@ def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
     B, Lp = seq.shape
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     gseq = table[seq, GAP]
+    # the scalar local kernel scores as (seq[j], lnz[i]) and ('-', lnz[i])
+    # (local_poa.rs:202-221) — transposed vs the global modes; matters
+    # for asymmetric matrices (the shipped HOXD70 is asymmetric)
+    tT = table.T
     valid = jcol[None, :] < L[:, None]
 
     def step(carry, xs):
         m, best_val, best_i, best_j = carry
         i, code_i, is_start, pidx, pmask = xs
         pidx_safe = jnp.maximum(pidx, 0)
-        gnode_i = table[code_i, GAP]
-        subrow_i = table[code_i][seq]
+        gnode_i = tT[code_i, GAP]
+        subrow_i = tT[code_i][seq]
         mp = m[:, pidx_safe, :]                            # [B, Pm, Lp]
         mvals = jnp.where(pmask[None, :, None], mp, NEG)
         mp_sh = jnp.roll(mvals, 1, axis=2).at[:, :, 0].set(NEG)

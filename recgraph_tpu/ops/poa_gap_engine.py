@@ -270,6 +270,8 @@ def _fill_gap_global(dg, table, seq, L, bta, o, e):
 def _fill_gap_local(dg, table, seq, L, o, e):
     n, Pm = dg.n, dg.max_preds
     B, Lp = seq.shape
+    # (seq[j], lnz[i]) argument order, as in gap_local_poa.rs:57,137
+    tT = table.T
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     valid = jcol[None, :] < L[:, None]
     in_band = valid
@@ -279,8 +281,7 @@ def _fill_gap_local(dg, table, seq, L, o, e):
         m, y, best_val, best_i, best_j = carry
         i, code_i, is_start, pidx, pmask = xs
         pidx_safe = jnp.maximum(pidx, 0)
-        gnode_i = table[code_i, GAP]
-        subrow_i = table[code_i][seq]
+        subrow_i = tT[code_i][seq]
 
         mp = jnp.where(pmask[None, :, None], m[:, pidx_safe, :], NEG)
         yp = jnp.where(pmask[None, :, None], y[:, pidx_safe, :], NEG)

@@ -50,15 +50,37 @@ def test_mode1_gaf_equal(corpus):
         assert r_o.to_string() == r_d.to_string()
 
 
-def test_mode1_hoxd70(corpus):
-    """-m 1 with the HOXD70 matrix (-t), a BASELINE.json config."""
-    seqs, names, g, _ = corpus
+def test_mode1_hoxd70(example_paths):
+    """-m 1 with the HOXD70 matrix (-t), a BASELINE.json config.
+
+    HOXD70 as shipped is *asymmetric* (T->G = -144 vs G->T = -114) and
+    the scalar local kernels score as (seq, lnz) — the full corpus is
+    needed to exercise the asymmetric cells (read 27 regressed once).
+    """
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
     sm = ScoreMatrix.create("HOXD70", 2, -4)
     states = poa_engine.run_batch(1, seqs, g, sm, -4, -2, _btas(seqs))
     for i, s in enumerate(seqs):
         st_o = poa.local_full(s, g, sm)
         r_o = gaf_emit.gaf_of_local_poa(st_o, s, names[i], False, g.handle_pos)
         r_d = gaf_emit.gaf_of_local_poa(states[i], s, names[i], False, g.handle_pos)
+        assert r_o.to_string() == r_d.to_string()
+
+
+def test_mode3_hoxd70(example_paths):
+    """Affine local with the asymmetric HOXD70 table."""
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    seqs, names = seqs[20:36], names[20:36]
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    sm = ScoreMatrix.create("HOXD70", 2, -4)
+    states = poa_engine.run_batch(3, seqs, g, sm, -4, -2, _btas(seqs))
+    for i, s in enumerate(seqs):
+        st_o = poa.gap_local_full(s, g, sm, -4, -2)
+        r_o = gaf_emit.gaf_of_gap_local_poa(st_o, s, names[i], False, g.handle_pos)
+        r_d = gaf_emit.gaf_of_gap_local_poa(states[i], s, names[i], False, g.handle_pos)
         assert r_o.to_string() == r_d.to_string()
 
 
