@@ -89,7 +89,13 @@ def test_fuzz_poa_modes(seed):
     rng = random.Random(seed)
     gfa = random_gfa(rng)
     g = PoaGraph.from_gfa(gfa)
-    sm = ScoreMatrix.match_mismatch(2, -4)
+    # alternate the asymmetric HOXD70 table in (orientation bugs are
+    # invisible under symmetric match/mismatch scoring)
+    sm = (
+        ScoreMatrix.create("HOXD70", 2, -4)
+        if seed % 2
+        else ScoreMatrix.match_mismatch(2, -4)
+    )
     reads = [random_read(rng, gfa) for _ in range(3)]
     btas = [int(1 + 0.1 * len(s)) for s in reads]
     emitters = {
@@ -108,10 +114,17 @@ def test_fuzz_poa_modes(seed):
         states = poa_engine.run_batch(mode, reads, g, sm, -4, -2, btas)
         for i, s in enumerate(reads):
             st_o = oracles[mode](s, i)
+            assert st_o.band_check_ok == states[i].band_check_ok
+            if mode in (0, 2) and not st_o.band_check_ok:
+                # traceback escaped the band: the reference PANICS here
+                # (usize underflow in the banded reindexing); both our
+                # implementations emit a line after warning, but its
+                # content reads unfilled cells and is unspecified —
+                # only the warning flag is comparable.
+                continue
             r_o = emitters[mode](st_o, s, "r", False, g.handle_pos).to_string()
             r_d = emitters[mode](states[i], s, "r", False, g.handle_pos).to_string()
             assert r_o == r_d, f"mode {mode} seed {seed} read {i}"
-            assert st_o.band_check_ok == states[i].band_check_ok
 
 
 @pytest.mark.parametrize("seed", SEEDS)
