@@ -118,11 +118,15 @@ def encode_reads(sequences: list[str], pad_to: int | None = None):
     """Pad '$'-prefixed reads into (codes int32[B, Lp], lengths int32[B]).
 
     Padding uses the 'N' code; all kernels mask to the per-read length.
+    Lp is rounded up to a multiple of 8: better lane alignment on TPU,
+    and it sidesteps an XLA-CPU fusion codegen crash on small odd
+    widths (fusion_compiler.cc RET_CHECK, seen at Lp=10).
     """
     from .. import scoring
 
     lengths = np.array([len(s) for s in sequences], dtype=np.int32)
     Lp = int(lengths.max()) if pad_to is None else pad_to
+    Lp = (Lp + 7) // 8 * 8
     out = np.full((len(sequences), Lp), scoring.N, dtype=np.int32)
     for b, s in enumerate(sequences):
         out[b, : len(s)] = scoring.encode(s)

@@ -307,7 +307,7 @@ def run_batch(
         vr = jnp.take_along_axis(
             jnp.broadcast_to(paths_on[None], (B, n, P)), rarg, axis=2
         )
-        jcol = np.arange(Lp_all)
+        jcol = np.arange(seq.shape[1])
         Lnp = np.asarray(jax.device_get(L))
         oob = np.maximum((Lnp * (1.0 - rbw) / 2.0).astype(np.int64), 1)
         active = jnp.asarray(
@@ -570,7 +570,7 @@ def run_batch_walks(
         vr = jnp.take_along_axis(
             jnp.broadcast_to(paths_on[None], (B, n, P)), rarg, axis=2
         )
-        jcol = np.arange(Lp_all)
+        jcol = np.arange(seq.shape[1])
         Lnp = np.asarray(jax.device_get(L))
         oob = np.maximum((Lnp * (1.0 - rbw) / 2.0).astype(np.int64), 1)
         active = jnp.asarray(
