@@ -412,7 +412,14 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     ej = jnp.int32(e)
     if mode == 2:
         bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
-        out = _fill_gap_global(dg, table, seq, L, bta, oj, ej)[:8]
+        # XLA's CPU fusion codegen miscompiles this scan for tiny graphs
+        # (fusion_compiler.cc RET_CHECK, n <= ~8); run those eagerly —
+        # they are test-sized anyway.  TPU is unaffected.
+        import contextlib
+
+        tiny = jax.default_backend() == "cpu" and dg.n <= 16
+        with jax.disable_jit() if tiny else contextlib.nullcontext():
+            out = _fill_gap_global(dg, table, seq, L, bta, oj, ej)[:8]
         score, last_row, last_col, packed, px, py, lefts, rights = jax.device_get(out)
         states = []
         for b in range(B):
