@@ -45,7 +45,7 @@ def _prefix_max_chain(x, jcol, Lp):
 
 
 def _local_kernel(
-    pred_idx_ref,   # scalar prefetch i32[n, Pm]
+    pred_idx_ref,   # scalar prefetch i32[n * Pm] (flat: 2-D SMEM pads to 128 lanes)
     is_start_ref,   # scalar prefetch i32[n]
     gnode_ref,      # scalar prefetch i32[n]
     codes_ref,      # scalar prefetch i32[n]
@@ -62,7 +62,7 @@ def _local_kernel(
 ):
     i = pl.program_id(1)
     Bt, Lp = gseq_ref.shape
-    Pm = pred_idx_ref.shape[1]
+    Pm = pred_idx_ref.shape[0] // codes_ref.shape[0]
     jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lp), 1)
 
     @pl.when(i == 0)
@@ -91,7 +91,7 @@ def _local_kernel(
         d_arg = jnp.zeros((Bt, Lp), jnp.int32)
         u_arg = jnp.zeros((Bt, Lp), jnp.int32)
         for p in range(Pm):
-            pidx = pred_idx_ref[i, p]
+            pidx = pred_idx_ref[i * Pm + p]
             slot = jnp.maximum(pidx, 0) % RING
             prow = ring[slot]
             prow = jnp.where(pidx == 0, 0, prow)          # row 0 is all zeros
@@ -236,8 +236,8 @@ def fill_local(dg, table, seq, L, Bt=None, interpret=False):
     valid = (jcol[None, :] < L[:, None]).astype(jnp.int32)
     gnode = tT[dg.codes, GAP]
     return _fill_local_pallas(
-        dg.pred_idx, dg.node_start.astype(jnp.int32), gnode, dg.codes,
-        sub, eq, gseq, G, valid, n=n, Bt=Bt, interpret=interpret,
+        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32), gnode,
+        dg.codes, sub, eq, gseq, G, valid, n=n, Bt=Bt, interpret=interpret,
     )
 
 
@@ -255,7 +255,7 @@ def _make_global_kernel(sink_rows: tuple, Lp: int):
     num_sinks = len(sink_rows)
 
     def kernel(
-        pred_idx_ref,   # i32[n, Pm]
+        pred_idx_ref,   # i32[n * Pm] (flat)
         is_start_ref,   # i32[n]
         gnode_ref,      # i32[n]
         codes_ref,      # i32[n]
@@ -281,7 +281,7 @@ def _make_global_kernel(sink_rows: tuple, Lp: int):
     ):
         i = pl.program_id(1)
         Bt, Lpo = gseq_ref.shape
-        Pm = pred_idx_ref.shape[1]
+        Pm = pred_idx_ref.shape[0] // codes_ref.shape[0]
         jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lpo), 1)
         L = aux_ref[:, 0:1]                               # [Bt, 1]
         bta = aux_ref[:, 1:2]
@@ -295,7 +295,7 @@ def _make_global_kernel(sink_rows: tuple, Lp: int):
         ms = jnp.full((Bt, 1), 1 << 28, jnp.int32)
         me = jnp.full((Bt, 1), NEG, jnp.int32)
         for p in range(Pm):
-            pidx = pred_idx_ref[i, p]
+            pidx = pred_idx_ref[i * Pm + p]
             ok = pidx >= 0
             pb = bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :]  # [1, Bt]
             pb = jnp.transpose(pb)                          # -> [Bt, 1]
@@ -357,7 +357,7 @@ def _make_global_kernel(sink_rows: tuple, Lp: int):
             d_pre = jnp.full((Bt, Lpo), NEG, jnp.int32)
             d_arg = jnp.zeros((Bt, Lpo), jnp.int32)
             for p in range(Pm):
-                pidx = pred_idx_ref[i, p]
+                pidx = pred_idx_ref[i * Pm + p]
                 ok = pidx >= 0
                 prow = pred_row(pidx)
                 pl_ = jnp.transpose(lefts_s[pl.ds(jnp.maximum(pidx, 0), 1), :])
@@ -566,8 +566,8 @@ def fill_global(dg, table, seq, L, bta, Bt=None, interpret=False):
         sink_ord[srow] = k
     gnode = table[dg.codes, GAP]
     return _fill_global_pallas(
-        dg.pred_idx, dg.node_start.astype(jnp.int32), gnode, dg.codes,
-        dg.r_values, dg.min_pred, jnp.asarray(sink_ord),
+        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32), gnode,
+        dg.codes, dg.r_values, dg.min_pred, jnp.asarray(sink_ord),
         sub, eq, gseq, gcol0, aux,
         sink_rows=dg.sink_rows, n=n, Bt=Bt, interpret=interpret,
     )

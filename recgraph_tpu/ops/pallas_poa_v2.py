@@ -35,7 +35,7 @@ def _make_local_kernel_v2(R: int, dtype=jnp.int32, neg=NEG):
     """dtype=int16 halves VPU register pressure; callers gate it on
     n < 2048 and |scores| < 16k (see fill_local_v2)."""
     def kernel(
-        pred_idx_ref,   # i32[n, Pm]
+        pred_idx_ref,   # i32[n * Pm] (flat)
         is_start_ref,   # i32[n]
         gnode_ref,      # i32[n]
         codes_ref,      # i32[n]
@@ -54,7 +54,7 @@ def _make_local_kernel_v2(R: int, dtype=jnp.int32, neg=NEG):
     ):
         step = pl.program_id(1)
         Bt, Lp = gseq_ref.shape
-        Pm = pred_idx_ref.shape[1]
+        Pm = pred_idx_ref.shape[0] // codes_ref.shape[0]
         jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lp), 1)
         j0 = jcol == 0
         NEGd = dtype(neg)
@@ -99,7 +99,7 @@ def _make_local_kernel_v2(R: int, dtype=jnp.int32, neg=NEG):
                     acc[2] = jnp.zeros((Bt, Lp), dtype)
                     acc[3] = jnp.zeros((Bt, Lp), dtype)
                     for p in range(Pm):
-                        pidx = pred_idx_ref[i, p]
+                        pidx = pred_idx_ref[i * Pm + p]
 
                         @pl.when(pidx >= 0)
                         def _():
@@ -263,7 +263,7 @@ def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False, dtype=None):
     gnode = tT[dg.codes, GAP]
     nrows = jnp.asarray([n - 1], dtype=jnp.int32)
     packed, bv, bi, bj = fn(
-        dg.pred_idx, dg.node_start.astype(jnp.int32), gnode, dg.codes, nrows,
-        sub, eq, gseq, G, valid,
+        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32), gnode,
+        dg.codes, nrows, sub, eq, gseq, G, valid,
     )
     return bv[:, 0], bi[:, 0], bj[:, 0], packed

@@ -340,6 +340,9 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
             global_mode=not semiglobal, max_steps=W,
         )
         del A, planes
+        kmax = min(W, (int(jax.device_get(steps.max())) + 255) // 256 * 256)
+        dirs = dirs[:, :kmax]
+        rows = rows[:, :kmax]
         dirs, rows, steps, stop_i = jax.device_get((dirs, rows, steps, stop_i))
         for b, s in enumerate(chunk_seqs):
             handle_dedup, path_len, path_start, path_end, comments = (

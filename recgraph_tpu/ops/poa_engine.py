@@ -356,7 +356,8 @@ def fill_global_best(dg, table, seq, L, bta, g=None):
     if jax.default_backend() == "tpu" and g is not None:
         from . import pallas_poa
 
-        if pallas_poa.max_pred_span(g) < pallas_poa.RING:
+        smem_ok = dg.n * (dg.max_preds + 6) * 4 < 700_000
+        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
             Bt = 32 if B % 32 == 0 else (8 if B % 8 == 0 else None)
             if Bt is not None:
@@ -381,7 +382,8 @@ def fill_local_best(dg, table, seq, L, g=None):
     if jax.default_backend() == "tpu" and g is not None:
         from . import pallas_poa
 
-        if pallas_poa.max_pred_span(g) < pallas_poa.RING:
+        smem_ok = dg.n * (dg.max_preds + 5) * 4 < 700_000
+        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
             Bt = 32 if B % 32 == 0 else (8 if B % 8 == 0 else None)
             if Bt is not None:
@@ -553,6 +555,11 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
     dirs, rows, steps, stop_row, stop_col = traceback_engine.walk_poa(
         packed, px, py, last_row, last_col, gap=gap, max_steps=W
     )
+    # truncate the padded walk buffers to the batch's longest walk
+    # (bucketed) before they cross the device->host link
+    kmax = min(W, (int(jax.device_get(steps.max())) + 255) // 256 * 256)
+    dirs = dirs[:, :kmax]
+    rows = rows[:, :kmax]
     fetch = [score, last_row, last_col, dirs, rows, steps, stop_row, stop_col]
     if banded:
         fetch += [lefts, rights]

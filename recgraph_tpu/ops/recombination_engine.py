@@ -635,6 +635,10 @@ def run_batch_walks(
             global_mode=(mode == 8), max_steps=W,
         )
         del Af, Ar, fplane, rplane
+        kf = min(W, (int(jax.device_get(fsteps.max())) + 255) // 256 * 256)
+        kr = min(W, (int(jax.device_get(rsteps.max())) + 255) // 256 * 256)
+        fdirs, frows = fdirs[:, :kf], frows[:, :kf]
+        rdirs, rrows = rdirs[:, :kr], rrows[:, :kr]
         fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps, rev_end = (
             jax.device_get(
                 (fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps, rev_end)
