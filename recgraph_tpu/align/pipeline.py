@@ -288,10 +288,14 @@ def _run(opts: Options) -> None:
 
 
 def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
-    """Batched device path for modes 0-3 (length-bucketed vmap)."""
-    from ..ops import poa_engine
+    """Batched device path for modes 0-3.
 
+    Ambiguous-strand retries are batched too: one reverse-graph batch
+    over just the reads that need it (mode 1/3 always; 0/2 on negative
+    score, main.rs:82-101,160-164,188-209,245-249).
+    """
     from .. import native
+    from ..ops import poa_engine
 
     o, e = -opts.gap_open, -opts.gap_extension
     btas = [_bta(opts, s) for s in sequences]
@@ -300,20 +304,36 @@ def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
         states = poa_engine.run_batch_walks(mode, sequences, g, sm, o, e, btas)
     else:
         states = poa_engine.run_batch(mode, sequences, g, sm, o, e, btas)
+    records = [None] * len(sequences)
     for i, (seq, st) in enumerate(zip(sequences, states)):
         if mode in (0, 2) and not st.band_check_ok:
             print(
                 "Band length probably too short, maybe try with larger b and f",
                 file=sys.stderr,
             )
-        record = _emit_poa(mode, st, seq, names[i], False, g.handle_pos, g)
-        if opts.amb_strand and (mode in (1, 3) or st.score < 0):
+        records[i] = _emit_poa(mode, st, seq, names[i], False, g.handle_pos, g)
+
+    if opts.amb_strand:
+        retry = [
+            i for i in range(len(sequences))
+            if mode in (1, 3) or states[i].score < 0
+        ]
+        if retry:
             rg, rhofp = rev_graph()
-            rseq = fasta.rev_and_compl(seq)
-            st_r = poa_engine.run_single(mode, rseq, rg, sm, o, e, btas[i])
-            rec_r = _emit_poa(mode, st_r, rseq, names[i], True, rhofp, rg)
-            if mode == 1:
-                record = record if st.score < st_r.score else rec_r
+            rseqs = [fasta.rev_and_compl(sequences[i]) for i in retry]
+            rbtas = [btas[i] for i in retry]
+            if native.load() is not None:
+                rstates = poa_engine.run_batch_walks(mode, rseqs, rg, sm, o, e, rbtas)
             else:
-                record = rec_r if st_r.score > st.score else record
-        writer.write(record.to_string(), i + 1)
+                rstates = poa_engine.run_batch(mode, rseqs, rg, sm, o, e, rbtas)
+            for k, i in enumerate(retry):
+                st_r = rstates[k]
+                rec_r = _emit_poa(mode, st_r, rseqs[k], names[i], True, rhofp, rg)
+                if mode == 1:
+                    # reference inversion preserved (main.rs:160-164)
+                    records[i] = records[i] if states[i].score < st_r.score else rec_r
+                else:
+                    records[i] = rec_r if st_r.score > states[i].score else records[i]
+
+    for i, rec in enumerate(records):
+        writer.write(rec.to_string(), i + 1)
