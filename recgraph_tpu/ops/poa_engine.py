@@ -492,22 +492,35 @@ class WalkState:
 def run_batch_walks(mode, sequences, g, sm, o, e, btas):
     """Modes 0-3 with on-device traceback; returns list[WalkState].
 
-    Requires the native host library for emission (callers fall back to
-    run_batch otherwise).
+    Large corpora run as a depth-2 software pipeline over read chunks:
+    chunk k+1's fill+walk is dispatched to the device before chunk k's
+    walks are drained to the host, so transfers and host emission
+    overlap device compute (the host-side pipeline of SURVEY.md §2.3).
     """
     from . import traceback_engine
     from .. import native
 
     if len(sequences) > CHUNK_READS:
         out = []
-        for c in range(0, len(sequences), CHUNK_READS):
-            out.extend(
-                run_batch_walks(
+        pending = None
+        starts = list(range(0, len(sequences), CHUNK_READS))
+        for c in starts + [None]:
+            nxt = None
+            if c is not None:
+                nxt = _dispatch_walks(
                     mode, sequences[c : c + CHUNK_READS], g, sm, o, e,
                     btas[c : c + CHUNK_READS],
                 )
-            )
+            if pending is not None:
+                out.extend(_drain_walks(mode, *pending))
+            pending = nxt
         return out
+    return _drain_walks(mode, *_dispatch_walks(mode, sequences, g, sm, o, e, btas))
+
+
+def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
+    """Device-side fill + walk for one chunk; no host transfers."""
+    from . import traceback_engine
 
     dg = poa_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
@@ -555,14 +568,31 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
     dirs, rows, steps, stop_row, stop_col = traceback_engine.walk_poa(
         packed, px, py, last_row, last_col, gap=gap, max_steps=W
     )
+    kmax_dev = steps.max()
+    dev = dict(
+        score=score, last_row=last_row, last_col=last_col, dirs=dirs,
+        rows=rows, steps=steps, stop_row=stop_row, stop_col=stop_col,
+        lefts=lefts, rights=rights, kmax=kmax_dev, W=W,
+    )
+    return sequences, dev
+
+
+def _drain_walks(mode, sequences, dev):
+    """Fetch one dispatched chunk and build WalkStates."""
+    from .. import native
+
+    gap = mode in (2, 3)
+    banded = mode in (0, 2)
+    B = len(sequences)
     # truncate the padded walk buffers to the batch's longest walk
     # (bucketed) before they cross the device->host link
-    kmax = min(W, (int(jax.device_get(steps.max())) + 255) // 256 * 256)
-    dirs = dirs[:, :kmax]
-    rows = rows[:, :kmax]
-    fetch = [score, last_row, last_col, dirs, rows, steps, stop_row, stop_col]
+    kmax = min(dev["W"], (int(jax.device_get(dev["kmax"])) + 255) // 256 * 256)
+    dirs = dev["dirs"][:, :kmax]
+    rows = dev["rows"][:, :kmax]
+    fetch = [dev["score"], dev["last_row"], dev["last_col"], dirs, rows,
+             dev["steps"], dev["stop_row"], dev["stop_col"]]
     if banded:
-        fetch += [lefts, rights]
+        fetch += [dev["lefts"], dev["rights"]]
     got = jax.device_get(fetch)
     score, last_row, last_col, dirs, rows, steps, stop_row, stop_col = got[:8]
     states = []
