@@ -102,3 +102,32 @@ def test_out_file_and_amb_strand(parsed, tmp_path, example_paths):
             assert ln.split("\t")[0] in names[:2]
     finally:
         os.unlink(tmp)
+
+
+def test_mode4_out_file_truncation_quirk(parsed, tmp_path, example_paths):
+    """Modes 4-9 pass 0-based read numbers to write_gaf; with -o the
+    file is truncated when number == 1, i.e. at the SECOND read
+    (utils.rs:200-219 + main.rs:260) — a reference quirk we preserve."""
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as fh:
+        for i in range(3):
+            fh.write(f">{names[i]}\n{seqs[i][1:]}\n")
+        tmp = fh.name
+    outf = str(tmp_path / "out4.gaf")
+    try:
+        run(
+            Options(
+                sequence_path=tmp, graph_path=graph_gfa, alignment_mode=4,
+                out_file=outf,
+            )
+        )
+        lines = open(outf).read().strip().splitlines()
+        # read 0 wrote, read 1 truncated, read 2 appended -> reads 1..2
+        assert len(lines) == 2
+        assert lines[0].split("\t")[0] == names[1]
+        assert lines[1].split("\t")[0] == names[2]
+    finally:
+        os.unlink(tmp)

@@ -164,3 +164,26 @@ def test_fuzz_recombination_modes(seed):
             assert r_o.to_string() == recs[i].to_string(), (
                 f"mode {mode} seed {seed} read {i}"
             )
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_fuzz_larger_graphs(seed):
+    """Wider/deeper random DAGs (more nodes, longer pred spans)."""
+    rng = random.Random(300 + seed)
+    gfa = random_gfa(rng, n_nodes=40, n_paths=6, cover_all=True)
+    gp = PathGraph.from_gfa(gfa)
+    g = PoaGraph.from_gfa(gfa)
+    sm = ScoreMatrix.create("HOXD70", 2, -4) if seed % 2 else ScoreMatrix.match_mismatch(2, -4)
+    reads = [random_read(rng, gfa) for _ in range(2)]
+    btas = [int(1 + 0.1 * len(s)) for s in reads]
+    states = poa_engine.run_batch(0, reads, g, sm, -4, -2, btas)
+    for i, s in enumerate(reads):
+        st_o = poa.global_banded(s, g, sm, btas[i])
+        assert st_o.band_check_ok == states[i].band_check_ok
+        if st_o.band_check_ok:
+            r_o = gaf_emit.gaf_of_global_abpoa(st_o, s, "r", False, g.handle_pos)
+            r_d = gaf_emit.gaf_of_global_abpoa(states[i], s, "r", False, g.handle_pos)
+            assert r_o.to_string() == r_d.to_string()
+    recs = pathwise_engine.run_batch_walks(4, reads, gp, sm)
+    for i, s in enumerate(reads):
+        assert pathwise.exec_global(s, gp, sm).to_string() == recs[i].to_string()
