@@ -171,9 +171,34 @@ def _run(opts: Options) -> None:
 
     t0 = time.time()
     sequences, names = fasta.get_sequences(opts.sequence_path)
+
+    # checkpoint/resume (SURVEY.md §5): with RECGRAPH_RESUME=1 and an
+    # -o file, skip reads whose GAF lines are already present and
+    # append.  (The reference has no resume; runs are seconds — this
+    # exists for huge corpora.)
+    resume_skip = 0
+    if (
+        os.environ.get("RECGRAPH_RESUME")
+        and opts.out_file != "standard output"
+        and os.path.exists(opts.out_file)
+        and opts.alignment_mode in (0, 1, 2, 3, 4, 5, 8, 9)
+    ):
+        with open(opts.out_file) as fh:
+            resume_skip = sum(1 for ln in fh if ln.strip())
+        resume_skip = min(resume_skip, len(sequences))
+        if resume_skip:
+            print(
+                f"resuming at read {resume_skip}/{len(sequences)}",
+                file=sys.stderr,
+            )
+            sequences = sequences[resume_skip:]
+            names = names[resume_skip:]
+            if not sequences:
+                print("Done in 0.", file=sys.stderr)
+                return
     parsed = gfa.parse_gfa(opts.graph_path)
     sm = ScoreMatrix.create(opts.matrix, opts.match_score, -opts.mismatch_score)
-    writer = GafWriter(opts.out_file)
+    writer = GafWriter(opts.out_file, number_offset=resume_skip)
     mode = opts.alignment_mode
 
     if mode in (0, 1, 2, 3):

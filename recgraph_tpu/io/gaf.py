@@ -57,11 +57,13 @@ class GafWriter:
     — we preserve that calling convention at the CLI layer.
     """
 
-    def __init__(self, out_file: str = "standard output"):
+    def __init__(self, out_file: str = "standard output", number_offset: int = 0):
         self.out_file = out_file
+        self.number_offset = number_offset  # resume-at-offset support
         self._created = False
 
     def write(self, gaf_line: str, number: int) -> None:
+        number += self.number_offset
         if self.out_file == "standard output":
             print(gaf_line)
             return
