@@ -64,3 +64,17 @@ def test_golden_recombination(example_paths, name):
         pytest.skip("golden not generated")
     got = _run_engine(example_paths, **SLOW_CONFIGS[name])
     assert got == open(golden).read()
+
+
+@pytest.mark.parametrize("mode", [6, 7])
+def test_golden_mode67_cigar_output(example_paths, mode):
+    """Modes 6/7 print CIGAR + best-path lines; pinned to the spec
+    implementation's output on a 6-read subset (the full-corpus oracle
+    takes minutes; shape mirrors pathwise_alignment_gap.rs:563-573)."""
+    golden = os.path.join(GOLDEN_DIR, f"mode{mode}.txt")
+    subset = os.path.join(GOLDEN_DIR, "subset6.fa")
+    if not (os.path.exists(golden) and os.path.exists(subset)):
+        pytest.skip("golden not generated")
+    _, graph_gfa = example_paths
+    got = _run_engine((subset, graph_gfa), alignment_mode=mode)
+    assert got == open(golden).read()
