@@ -18,8 +18,6 @@ Outputs/tie-breaking identical to poa_engine._fill_local
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

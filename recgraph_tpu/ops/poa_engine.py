@@ -23,13 +23,11 @@ recgraph_tpu.parallel).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..oracle.poa import PoaState, _band_ampl_enough, _gap_band_ampl_enough
+from ..oracle.poa import PoaState, _band_ampl_enough
 from ..scoring import GAP
 from .encode import poa_device_graph, encode_reads
 

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle.poa import PoaState, _gap_band_ampl_enough
-from ..scoring import GAP
 from .encode import poa_device_graph, encode_reads
 from .poa_engine import (
     NEG,
