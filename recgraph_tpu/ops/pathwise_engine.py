@@ -37,8 +37,11 @@ from .poa_engine import D, LOW_D, L_DIR, U_DIR
 NEG = -(1 << 28)
 
 
-@jax.jit
-def _fill_pathwise(dg, table, seq, semiglobal):
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("encode_chain",))
+def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
     """Dense absolute pathwise fill.
 
     Returns A int32[B, P, n, Lp] of per-path absolute scores (0 where a
@@ -50,20 +53,26 @@ def _fill_pathwise(dg, table, seq, semiglobal):
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     gseq = table[seq, GAP]                                 # [B, Lp]
     G = jnp.cumsum(gseq, axis=1)
+    qdiag = jnp.arange(P)
 
     def step(carry, xs):
-        A = carry                                          # [B, P, n, Lp]
+        # carry layout [n, B, P, Lp]: the per-row dynamic_update_slice
+        # hits the leading (major) axis, which XLA updates in place —
+        # a [B, P, n, Lp] carry forced a relayout copy every row
+        # (~100x slower on TPU)
+        A = carry
         i, code_i, pvec, rvec, on = xs                     # [P] each
         gap_i = table[code_i, GAP]
         subrow = table[code_i][seq]                        # [B, Lp]
         p_safe = jnp.maximum(pvec, 0)
         r_safe = jnp.maximum(rvec, 0)
 
-        Af = A.reshape(B, P * n, Lp)
-        idx_qq = (jnp.arange(P, dtype=jnp.int32) * n + p_safe)  # A[q, p_q]
-        idx_rq = (r_safe * n + p_safe)                          # A[r_q, p_q]
-        Aq = jnp.take_along_axis(Af, idx_qq[None, :, None], axis=1)  # [B,P,Lp]
-        Ar = jnp.take_along_axis(Af, idx_rq[None, :, None], axis=1)
+        Arows = A[p_safe]                                  # [P, B, P, Lp]
+        Aq = jnp.moveaxis(Arows[qdiag, :, qdiag, :], 0, 1)  # [B, P, Lp]
+        Ar = jnp.take_along_axis(
+            Arows, r_safe[:, None, None, None], axis=2
+        )[:, :, 0, :]
+        Ar = jnp.moveaxis(Ar, 0, 1)                        # [B, P, Lp]
 
         # rep rows via the (max,+) chain (pathwise_alignment.rs:18-304)
         Ar_sh = jnp.roll(Ar, 1, axis=2).at[:, :, 0].set(NEG)
@@ -79,29 +88,42 @@ def _fill_pathwise(dg, table, seq, semiglobal):
         dirU = ~dirD & (rep_row == u_r)
         nonL = dirD | dirU | (jcol == 0)[None, None, :]
 
-        # non-rep replay: gather at the last non-L column
+        # non-rep replay: propagate the value at the last non-L column.
+        # TPU lane-axis take_along_axis is a slow generic gather, so the
+        # default path packs (column << 17 | value+OFF) and runs a lane
+        # cummax instead — the max picks the latest non-L column, whose
+        # low bits carry its restart value (valid while
+        # 2*Lp*max|score| < 2^16; encode_chain=False falls back).
         Aq_sh = jnp.roll(Aq, 1, axis=2).at[:, :, 0].set(NEG)
         vD = Aq_sh + subrow[:, None, :]
         vU = Aq + gap_i
         first_q = jnp.where(semiglobal, 0, Aq[:, :, 0] + gap_i)
         V = jnp.where(dirD, vD, vU)
         V = V.at[:, :, 0].set(first_q)
-        kidx = jax.lax.cummax(jnp.where(nonL, jcol, -1), axis=2)
-        Vk = jnp.take_along_axis(V, kidx, axis=2)
-        Gk = jnp.take_along_axis(
-            jnp.broadcast_to(G[:, None, :], V.shape), kidx, axis=2
-        )
-        row = Vk + G[:, None, :] - Gk
+        if encode_chain:
+            OFF = 1 << 16
+            enc = jnp.where(
+                nonL, (jcol << 17) | (V - G[:, None, :] + OFF), -1
+            )
+            enc = jax.lax.cummax(enc, axis=2)
+            row = G[:, None, :] + (enc & ((1 << 17) - 1)) - OFF
+        else:
+            kidx = jax.lax.cummax(jnp.where(nonL, jcol, -1), axis=2)
+            Vk = jnp.take_along_axis(V, kidx, axis=2)
+            Gk = jnp.take_along_axis(
+                jnp.broadcast_to(G[:, None, :], V.shape), kidx, axis=2
+            )
+            row = Vk + G[:, None, :] - Gk
         row = jnp.where(on[None, :, None], row, 0)
 
-        A = jax.lax.dynamic_update_slice(A, row[:, :, None, :], (0, 0, i, 0))
+        A = jax.lax.dynamic_update_slice(A, row[None], (i, 0, 0, 0))
         return A, None
 
-    A0 = jnp.zeros((B, P, n, Lp), dtype=jnp.int32)
+    A0 = jnp.zeros((n, B, P, Lp), dtype=jnp.int32)
     # row 0: all paths advance together with sm(seq[j], '-') gaps
     # (pathwise_alignment.rs:46-49)
     row0 = jnp.broadcast_to((G - G[:, :1])[:, None, :], (B, P, Lp))
-    A0 = A0.at[:, :, 0, :].set(row0)
+    A0 = A0.at[0].set(row0)
 
     rows = jnp.arange(1, n - 1, dtype=jnp.int32)
     xs = (
@@ -112,7 +134,7 @@ def _fill_pathwise(dg, table, seq, semiglobal):
         dg.paths_on[1 : n - 1],
     )
     A, _ = jax.lax.scan(step, A0, xs)
-    return A
+    return jnp.moveaxis(A, 0, 2)                           # -> [B, P, n, Lp]
 
 
 @jax.jit
@@ -165,7 +187,8 @@ def run_batch(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
-        A = _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal))
+        fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+        A = _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal), encode_chain=fits)
         finalcol = np.asarray(jax.device_get(_final_column(A, L)))
         bps, nodes = [], []
         for b in range(len(chunk_seqs)):
@@ -317,7 +340,8 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
-        A = _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal))
+        fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+        A = _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal), encode_chain=fits)
         finalcol = np.asarray(jax.device_get(_final_column(A, L)))
         bps, nodes, scores = [], [], []
         for b in range(len(chunk_seqs)):

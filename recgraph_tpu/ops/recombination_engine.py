@@ -73,8 +73,8 @@ def _suffix_cummax(x):
     return jax.lax.cummax(x[..., ::-1], axis=x.ndim - 1)[..., ::-1]
 
 
-@jax.jit
-def _fill_pathwise_rev(dg, table, seq, L, mode8):
+@functools.partial(jax.jit, static_argnames=("encode_chain",))
+def _fill_pathwise_rev(dg, table, seq, L, mode8, encode_chain=True):
     """Reverse fill over the reverse graph; returns W int32[B, P, n, Lp].
 
     ``seq`` is the forward '$'-prefixed read; the reverse read
@@ -90,19 +90,22 @@ def _fill_pathwise_rev(dg, table, seq, L, mode8):
     Gs = jnp.cumsum(gseq[:, ::-1], axis=1)[:, ::-1]        # suffix sums
     is_last = jcol[None, :] == (L - 1)[:, None]
 
+    qdiag = jnp.arange(P)
+
     def step(carry, xs):
-        A = carry
+        A = carry                                          # [n, B, P, Lp]
         i, code_i, pvec, rvec, on = xs
         gap_i = table[code_i, GAP]
         subrow = table[code_i][rev]
         p_safe = jnp.maximum(pvec, 0)
         r_safe = jnp.maximum(rvec, 0)
 
-        Af = A.reshape(B, P * n, Lp)
-        idx_qq = jnp.arange(P, dtype=jnp.int32) * n + p_safe
-        idx_rq = r_safe * n + p_safe
-        Aq = jnp.take_along_axis(Af, idx_qq[None, :, None], axis=1)
-        Ar = jnp.take_along_axis(Af, idx_rq[None, :, None], axis=1)
+        Arows = A[p_safe]                                  # [P, B, P, Lp]
+        Aq = jnp.moveaxis(Arows[qdiag, :, qdiag, :], 0, 1)
+        Ar = jnp.take_along_axis(
+            Arows, r_safe[:, None, None, None], axis=2
+        )[:, :, 0, :]
+        Ar = jnp.moveaxis(Ar, 0, 1)
 
         Ar_sh = jnp.roll(Ar, -1, axis=2).at[:, :, -1].set(NEG)
         d_r = Ar_sh + subrow[:, None, :]
@@ -126,27 +129,40 @@ def _fill_pathwise_rev(dg, table, seq, L, mode8):
         last_q = jnp.where(mode8, Aq_last[:, :, 0] + gap_i, 0)
         V = jnp.where(dirD, vD, vU)
         V = jnp.where(is_last[:, None, :], last_q[:, :, None], V)
-        kneg = _suffix_cummax(jnp.where(nonL, -jcol, NEG))
-        kidx = jnp.maximum(-kneg, 0)
-        Vk = jnp.take_along_axis(V, kidx, axis=2)
-        Gk = jnp.take_along_axis(jnp.broadcast_to(Gs[:, None, :], V.shape), kidx, axis=2)
-        row = Vk + Gs[:, None, :] - Gk
+        if encode_chain:
+            # packed suffix chain (see _fill_pathwise): the suffix max
+            # picks the nearest non-L column to the right
+            OFF = 1 << 16
+            enc = jnp.where(
+                nonL, ((Lp - jcol) << 17) | (V - Gs[:, None, :] + OFF), -1
+            )
+            enc = _suffix_cummax(enc)
+            row = Gs[:, None, :] + (enc & ((1 << 17) - 1)) - OFF
+        else:
+            kneg = _suffix_cummax(jnp.where(nonL, -jcol, NEG))
+            kidx = jnp.maximum(-kneg, 0)
+            Vk = jnp.take_along_axis(V, kidx, axis=2)
+            Gk = jnp.take_along_axis(
+                jnp.broadcast_to(Gs[:, None, :], V.shape), kidx, axis=2
+            )
+            row = Vk + Gs[:, None, :] - Gk
         row = jnp.where(on[None, :, None], row, 0)
         row = jnp.where(in_read[:, None, :], row, 0)
         row = row.at[:, :, 0].set(0)                      # column 0 never written
-        A = jax.lax.dynamic_update_slice(A, row[:, :, None, :], (0, 0, i, 0))
+        A = jax.lax.dynamic_update_slice(A, row[None], (i, 0, 0, 0))
         return A, None
 
-    A0 = jnp.zeros((B, P, n, Lp), dtype=jnp.int32)
+    A0 = jnp.zeros((n, B, P, Lp), dtype=jnp.int32)
     # row n-1: all paths carry the suffix gap chain (rev_align :76-79);
     # column 0 and padding stay 0
     rown1 = jnp.where((jcol[None, :] > 0) & in_read, Gs, 0)
-    A0 = A0.at[:, :, n - 1, :].set(rown1[:, None, :])
+    A0 = A0.at[n - 1].set(rown1[:, None, :])
 
     rows = jnp.arange(n - 2, 0, -1, dtype=jnp.int32)
     sl = slice(n - 2, 0, -1)
     xs = (rows, dg.codes[sl], dg.pred_of[sl], dg.rep_of[sl], dg.paths_on[sl])
     A, _ = jax.lax.scan(step, A0, xs)
+    A = jnp.moveaxis(A, 0, 2)                              # -> [B, P, n, Lp]
     # row n-1 delta quirk: only the alpha (path 0) plane keeps the chain
     A = A.at[:, 1:, n - 1, :].set(0)
     return A
@@ -290,8 +306,11 @@ def run_batch(
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
-        Af = _fill_pathwise(dg, table, seq, jnp.bool_(mode == 9))
-        Ar = _fill_pathwise_rev(dgr, table, seq, L, jnp.bool_(mode == 8))
+        fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+        Af = _fill_pathwise(dg, table, seq, jnp.bool_(mode == 9), encode_chain=fits)
+        Ar = _fill_pathwise_rev(
+            dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
+        )
 
         finalcol = np.asarray(jax.device_get(_final_column(Af, L)))
         init_best = np.zeros(B, dtype=np.float32)
@@ -553,8 +572,11 @@ def run_batch_walks(
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
-        Af = _fill_pathwise(dg, table, seq, jnp.bool_(mode == 9))
-        Ar = _fill_pathwise_rev(dgr, table, seq, L, jnp.bool_(mode == 8))
+        fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+        Af = _fill_pathwise(dg, table, seq, jnp.bool_(mode == 9), encode_chain=fits)
+        Ar = _fill_pathwise_rev(
+            dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
+        )
 
         finalcol = np.asarray(jax.device_get(_final_column(Af, L)))
         init_best = np.zeros(B, dtype=np.float32)
