@@ -39,6 +39,16 @@ def make(outdir, n_back=700, n_reads=10000, seed=42):
     for p in range(8):
         walk = [rng.choice(g) for g in backbone]
         paths.append(walk)
+    # cover every node: the pathwise modes (like the reference) index
+    # alphas and crash on uncovered nodes
+    covered = {x for w in paths for x in w}
+    for g1 in backbone:
+        for x in g1:
+            if x not in covered:
+                walk = [x if x in g2 else rng.choice(g2) for g2 in backbone]
+                paths.append(walk)
+                covered.update(walk)
+    for p, walk in enumerate(paths):
         lines.append(f"P\tp{p}\t" + ",".join(f"{x}+" for x in walk) + "\t*")
     with open(os.path.join(outdir, "graph.gfa"), "w") as fh:
         fh.write("\n".join(lines + edges) + "\n")
