@@ -159,10 +159,16 @@ def test_fuzz_recombination_modes(seed):
     reads = [random_read(rng, gfa) for _ in range(2)]
     for mode in (8, 9):
         recs = recombination_engine.run_batch(mode, reads, g, rg, sm, 4, 0.1, 1.0)
+        walks = recombination_engine.run_batch_walks(
+            mode, reads, g, rg, sm, 4, 0.1, 1.0
+        )
         for i, s in enumerate(reads):
             r_o = ro.exec_mode(mode, s, g, rg, sm, 4, 0.1, dms, 1.0)
             assert r_o.to_string() == recs[i].to_string(), (
                 f"mode {mode} seed {seed} read {i}"
+            )
+            assert r_o.to_string() == walks[i].to_string(), (
+                f"walk mode {mode} seed {seed} read {i}"
             )
 
 
