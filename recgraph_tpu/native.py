@@ -97,6 +97,17 @@ def _ptr(a):
     return a.ctypes.data_as(ctypes.c_void_p)
 
 
+_OUT_CAP = 1 << 20
+_out_buf = None
+
+
+def _outbuf():
+    global _out_buf
+    if _out_buf is None:
+        _out_buf = ctypes.create_string_buffer(_OUT_CAP)
+    return _out_buf
+
+
 def gaf_emit_poa(mode, packed, packed_x, packed_y, lefts, hofp_ids,
                  last_row, last_col, seq_len, amb) -> str | None:
     """Emit the GAF line tail (all columns after query_name) or None."""
@@ -104,8 +115,8 @@ def gaf_emit_poa(mode, packed, packed_x, packed_y, lefts, hofp_ids,
     if lib is None:
         return None
     n, stride = packed.shape
-    cap = 1 << 20
-    out = ctypes.create_string_buffer(cap)
+    cap = _OUT_CAP
+    out = _outbuf()
     rc = lib.gaf_emit_poa(
         mode, _ptr(packed), _ptr(packed_x), _ptr(packed_y), _ptr(lefts),
         _ptr(hofp_ids), n, stride, last_row, last_col, seq_len,
@@ -170,8 +181,8 @@ def gaf_emit_poa_walk(dirs, rows, stop_row, query_start, last_row, query_end,
     lib = load()
     if lib is None:
         return None
-    cap = 1 << 20
-    out = ctypes.create_string_buffer(cap)
+    cap = _OUT_CAP
+    out = _outbuf()
     rc = lib.gaf_emit_poa_walk(
         _ptr(dirs), _ptr(rows), len(dirs), stop_row, query_start,
         last_row, query_end, _ptr(hofp_ids), seq_len, 1 if amb else 0,
