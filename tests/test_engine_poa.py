@@ -103,3 +103,32 @@ def test_mode3_gaf_equal(corpus):
         r_o = gaf_emit.gaf_of_gap_local_poa(st_o, s, names[i], False, g.handle_pos)
         r_d = gaf_emit.gaf_of_gap_local_poa(states[i], s, names[i], False, g.handle_pos)
         assert r_o.to_string() == r_d.to_string()
+
+
+def test_chunked_walk_runner_odd_sizes(monkeypatch, example_paths):
+    """The depth-2 chunk pipeline handles ragged final chunks."""
+    from recgraph_tpu import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("no native lib")
+    from recgraph_tpu.align.pipeline import _hofp_ids
+
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    sm = ScoreMatrix.create("none", 2, -4)
+    monkeypatch.setattr(poa_engine, "CHUNK_READS", 7)
+    sub = seqs[:17]                     # chunks of 7, 7, 3
+    btas = [2] * 17
+    walks = poa_engine.run_batch_walks(1, sub, g, sm, -4, -2, btas)
+    planes = poa_engine.run_batch(1, sub, g, sm, -4, -2, btas)
+    hof = _hofp_ids(g)
+    for i, (w, p) in enumerate(zip(walks, planes)):
+        tail = native.gaf_emit_poa_walk(
+            w.dirs, w.rows, w.stop_row, w.query_start, w.last_row,
+            w.last_col_abs, hof, len(sub[i]), False,
+        )
+        ref = gaf_emit.gaf_of_local_poa(p, sub[i], "r", False, g.handle_pos)
+        assert f"r\t{tail}" == ref.to_string()
