@@ -107,7 +107,7 @@ def _bench_child(platform, batch, iters, q):
     q.put(buf.getvalue())
 
 
-def _run_guarded(batch, iters, timeout_s=420):
+def _run_guarded(batch, iters, timeout_s=300):
     """Run the bench in a child process with a watchdog.
 
     The dev TPU tunnel can wedge indefinitely; the driver must still get
