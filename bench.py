@@ -117,9 +117,10 @@ def _run_guarded(batch, iters, timeout_s=300):
 
     ctx = mp.get_context("spawn")
 
-    for platform, t_s in ((None, timeout_s), ("cpu", timeout_s)):
+    # CPU fallback uses a smaller batch so it fits its own watchdog
+    for platform, b, t_s in ((None, batch, timeout_s), ("cpu", min(batch, 128), timeout_s)):
         q = ctx.Queue()
-        p = ctx.Process(target=_bench_child, args=(platform, batch, iters, q))
+        p = ctx.Process(target=_bench_child, args=(platform, b, iters, q))
         p.start()
         p.join(t_s)
         if p.is_alive():
