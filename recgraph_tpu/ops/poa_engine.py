@@ -344,12 +344,22 @@ def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
 # ---------------------------------------------------------------------------
 
 
+def _pad_batch(arrs, B, Bp):
+    """Pad the leading (batch) axis from B to Bp by repeating row 0."""
+    out = []
+    for a in arrs:
+        pad = jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])
+        out.append(jnp.concatenate([a, pad], axis=0))
+    return out
+
+
 def fill_global_best(dg, table, seq, L, bta, g=None):
     """Mode-0 fill through the fastest available backend.
 
     Returns (score, last_row, last_col_abs, packed, lefts, rights,
     batch_axis); packed is [B, n, Lp] (XLA) or [n, B, Lp+8] (Pallas,
-    band bounds in the trailing lanes).
+    band bounds in the trailing lanes).  Batches not divisible by the
+    Pallas tile are padded with copies of read 0 and sliced back.
     """
     if jax.default_backend() == "tpu" and g is not None:
         from . import pallas_poa
@@ -357,12 +367,14 @@ def fill_global_best(dg, table, seq, L, bta, g=None):
         smem_ok = dg.n * (dg.max_preds + 6) * 4 < 700_000
         if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
-            Bt = 32 if B % 32 == 0 else (8 if B % 8 == 0 else None)
-            if Bt is not None:
-                score, lrow, lcol, packed = pallas_poa.fill_global(
-                    dg, table, seq, L, bta, Bt=Bt
-                )
-                return score, lrow, lcol, packed, None, None, 1
+            Bp = -(-B // 8) * 8
+            Bt = 32 if Bp % 32 == 0 else 8
+            if Bp != B:
+                seq, L, bta = _pad_batch((seq, L, bta), B, Bp)
+            score, lrow, lcol, packed = pallas_poa.fill_global(
+                dg, table, seq, L, bta, Bt=Bt
+            )
+            return score[:B], lrow[:B], lcol[:B], packed[:, :B], None, None, 1
     out = _fill_global(dg, table, seq, L, bta)
     return out + (0,)
 
@@ -378,15 +390,22 @@ def fill_local_best(dg, table, seq, L, g=None):
     per-read planes as free views either way).
     """
     if jax.default_backend() == "tpu" and g is not None:
-        from . import pallas_poa
+        from . import pallas_poa, pallas_poa_v2
 
         smem_ok = dg.n * (dg.max_preds + 5) * 4 < 700_000
         if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
-            Bt = 32 if B % 32 == 0 else (8 if B % 8 == 0 else None)
-            if Bt is not None:
-                bv, bi, bj, packed = pallas_poa.fill_local(dg, table, seq, L, Bt=Bt)
-                return bv, bi, bj, packed, 1
+            Bp = -(-B // 8) * 8
+            Bt = 32 if Bp % 32 == 0 else 8
+            if Bp != B:
+                seq, L = _pad_batch((seq, L), B, Bp)
+            # v2 (R rows per grid step + single-pred fast path) is the
+            # fastest measured kernel (PERF.md); packed rows may be
+            # padded past n — callers slice [:n]
+            bv, bi, bj, packed = pallas_poa_v2.fill_local_v2(
+                dg, table, seq, L, Bt=Bt
+            )
+            return bv[:B], bi[:B], bj[:B], packed[:, :B], 1
     return _fill_local(dg, table, seq, L) + (0,)
 
 

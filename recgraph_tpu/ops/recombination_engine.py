@@ -267,12 +267,43 @@ def _baseline(mode, finalcol_b, g):
     return np.float32(mx), best_path
 
 
+def _oracle_fallback(
+    mode, sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw
+) -> list[GafRecord]:
+    """Scalar-oracle route for graphs whose reverse fill hits the
+    delta-leak edge cases (pathwise_meta_rev raises NotImplementedError).
+
+    The reference just runs these graphs
+    (pathwise_alignment_recombination.rs:129-435); we match its output
+    exactly through the per-cell port instead of the device engine.
+    """
+    import sys
+
+    print(
+        "recgraph: reverse-fill edge case; modes 8/9 falling back to the "
+        "scalar oracle for this graph",
+        file=sys.stderr,
+    )
+    dms = nodes_displacement_matrix(g, rg)
+    return [
+        rec_oracle.exec_mode(
+            mode, s, g, rg, sm, base_rec_cost, multi_rec_cost, dms, rbw
+        )
+        for s in sequences
+    ]
+
+
 def run_batch(
     mode, sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw,
     chunk_bytes=1 << 29,
 ) -> list[GafRecord]:
     dg = path_device_graph(g)
-    dgr = rev_device_graph(rg)
+    try:
+        dgr = rev_device_graph(rg)
+    except NotImplementedError:
+        return _oracle_fallback(
+            mode, sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw
+        )
     table = jnp.asarray(sm.table, dtype=jnp.int32)
     n, P = dg.n, dg.paths_number
     I = n - 2
@@ -534,7 +565,12 @@ def run_batch_walks(
     from ..graph.pathgraph import pathwise_meta
 
     dg = path_device_graph(g)
-    dgr = rev_device_graph(rg)
+    try:
+        dgr = rev_device_graph(rg)
+    except NotImplementedError:
+        return _oracle_fallback(
+            mode, sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw
+        )
     table = jnp.asarray(sm.table, dtype=jnp.int32)
     n, P = dg.n, dg.paths_number
     I = n - 2

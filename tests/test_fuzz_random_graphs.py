@@ -150,10 +150,9 @@ def test_fuzz_recombination_modes(seed):
     gfa = random_gfa(rng, n_nodes=12, n_paths=3, cover_all=True)
     g = PathGraph.from_gfa(gfa)
     rg = g.reverse()
-    try:
-        recombination_engine.rev_device_graph(rg)
-    except NotImplementedError:
-        pytest.skip("graph hits the reverse-fill delta-leak edge case")
+    # graphs hitting the reverse-fill delta-leak edge case are routed to
+    # the scalar-oracle fallback inside run_batch*; the GAF assertions
+    # below must hold either way (the reference just runs these graphs)
     sm = ScoreMatrix.match_mismatch(2, -4)
     dms = nodes_displacement_matrix(g, rg)
     reads = [random_read(rng, gfa) for _ in range(2)]
@@ -170,6 +169,37 @@ def test_fuzz_recombination_modes(seed):
             assert r_o.to_string() == walks[i].to_string(), (
                 f"walk mode {mode} seed {seed} read {i}"
             )
+
+
+def test_recombination_oracle_fallback_on_ghost_row_graph():
+    """A single-node path never registers an F predecessor
+    (pathwise_graph.rs:211-232 quirk), leaving that path uncovered by
+    successor edges in the reverse graph.  The device engines must
+    route such graphs through the scalar-oracle fallback and still
+    produce the oracle-identical GAF (the reference just runs them,
+    pathwise_alignment_recombination.rs:129-435)."""
+    gfa = Gfa()
+    gfa.segments = {1: "ACG", 2: "TT", 3: "GCA"}
+    gfa.edges = [(1, 2), (2, 3)]
+    gfa.paths = [GfaPath("p0", [1, 2, 3]), GfaPath("p1", [2])]
+    g = PathGraph.from_gfa(gfa)
+    rg = g.reverse()
+    from recgraph_tpu.graph.pathgraph import pathwise_meta_rev
+
+    with pytest.raises(NotImplementedError):
+        pathwise_meta_rev(rg)
+    sm = ScoreMatrix.match_mismatch(2, -4)
+    dms = nodes_displacement_matrix(g, rg)
+    reads = ["$ACGTTGCA", "$ACGGCA", "$TTT"]
+    for mode in (8, 9):
+        recs = recombination_engine.run_batch(mode, reads, g, rg, sm, 4, 0.1, 1.0)
+        walks = recombination_engine.run_batch_walks(
+            mode, reads, g, rg, sm, 4, 0.1, 1.0
+        )
+        for i, s in enumerate(reads):
+            r_o = ro.exec_mode(mode, s, g, rg, sm, 4, 0.1, dms, 1.0)
+            assert r_o.to_string() == recs[i].to_string()
+            assert r_o.to_string() == walks[i].to_string()
 
 
 @pytest.mark.parametrize("seed", [11, 12])

@@ -84,6 +84,35 @@ def test_pallas_local_v2_matches_xla_both_dtypes(example_paths):
         np.testing.assert_array_equal(pk, np.asarray(packed2))
 
 
+def test_batch_padding_matches_unpadded(example_paths):
+    """fill_local_best pads non-multiple-of-8 batches before the Pallas
+    kernel; the padded+sliced results must equal the unpadded fill."""
+    from recgraph_tpu.ops import pallas_poa_v2
+    from recgraph_tpu.ops.poa_engine import _pad_batch
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    B = 12
+    seq, L = encode_reads(seqs[:B])
+    Bp = -(-B // 8) * 8
+    seq_p, L_p = _pad_batch((seq, L), B, Bp)
+    assert seq_p.shape[0] == Bp
+    np.testing.assert_array_equal(np.asarray(seq_p[:B]), np.asarray(seq))
+    bv, bi, bj, packed = pallas_poa_v2.fill_local_v2(
+        dg, table, seq_p, L_p, Bt=8, R=8, interpret=True
+    )
+    bv2, bi2, bj2, packed2 = poa_engine._fill_local(dg, table, seq, L)
+    np.testing.assert_array_equal(np.asarray(bv[:B]), np.asarray(bv2))
+    np.testing.assert_array_equal(np.asarray(bi[:B]), np.asarray(bi2))
+    np.testing.assert_array_equal(np.asarray(bj[:B]), np.asarray(bj2))
+    pk = np.asarray(packed[:, :B])[: g.n].transpose(1, 0, 2)
+    np.testing.assert_array_equal(pk, np.asarray(packed2))
+
+
 def test_v3_scores_fill_and_recompute_walk(example_paths):
     """v3 scores-only fill + direction-recompute walker == oracle GAF,
     including the asymmetric HOXD70 table."""
