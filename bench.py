@@ -1,6 +1,7 @@
 """Benchmark: DP cells/s of the device engines on the example corpus.
 
-Prints ONE JSON line:
+Prints one JSON line per benched mode, ending with the headline
+(mode-1 local POA) line:
   {"metric": ..., "value": N, "unit": "Gcells/s", "vs_baseline": N}
 
 Timing methodology: the per-fill cost is the *slope* between one and
@@ -10,10 +11,14 @@ on tunnelled PJRT backends: `block_until_ready` returning before the
 computation materialises (which inflates throughput ~30x), and tens of
 milliseconds of per-call transfer latency (which deflates it).
 
-Baseline: the reference's AVX2 local-POA kernel (local_poa.rs:9-179) is
-an 8-lane f32 row DP on one CPU core; no published numbers exist
-(BASELINE.md), so we use 1.0 Gcells/s as a generous estimate of its
-throughput — vs_baseline is therefore cells/s in that unit.
+Baseline: **measured on this host** — the reference's local-POA kernels
+(local_poa.rs scalar exec / AVX2 exec_simd) reimplemented in C++
+(native/baseline_scalar.cpp, deliberately at least as fast as the Rust:
+dense table lookups replace its per-cell HashMap gets) and timed on the
+example corpus.  vs_baseline divides device Gcells/s by the AVX2 number
+for the POA modes and by the scalar number for the pathwise modes (the
+reference has no SIMD pathwise kernel).  Falls back to 0.2 Gcells/s
+(the top of PERF.md's estimate band) if the native library is missing.
 """
 
 from __future__ import annotations
@@ -28,10 +33,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-BASELINE_GCELLS = 1.0  # estimated Rust AVX2 single-core local-POA Gcells/s
+FALLBACK_BASELINE_GCELLS = 0.2  # top of the 5-20 ns/cell estimate band
 
 
-def main(batch: int = 512, iters: int = 3) -> None:
+def measure_cpu_baseline(g, sm, seqs):
+    """(avx2_gcells, scalar_gcells) measured on this host, or fallbacks."""
+    try:
+        from recgraph_tpu import native
+
+        cells = sum(len(s) for s in seqs) * (g.n - 2)
+        out = []
+        for simd in (True, False):
+            reps = 8
+            secs, _ = native.baseline_local_cpu(g, sm, seqs, repeats=reps, simd=simd)
+            out.append(cells * reps / secs / 1e9)
+        return out[0], out[1]
+    except Exception as e:  # pragma: no cover - missing toolchain
+        print(f"# cpu baseline unavailable ({e}); using estimate", file=sys.stderr)
+        return FALLBACK_BASELINE_GCELLS, FALLBACK_BASELINE_GCELLS
+
+
+def slope_time(make_fn, iters=3, k_hi=4):
+    """Per-call seconds via the chained-slope method."""
+    t = {}
+    for k in (1, k_hi):
+        fn = make_fn(k)
+        fn()  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        t[k] = (time.perf_counter() - t0) / iters
+    return max((t[k_hi] - t[1]) / (k_hi - 1), 1e-9)
+
+
+def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
+    from recgraph_tpu.graph.pathgraph import PathGraph, nodes_displacement_matrix
     from recgraph_tpu.graph.poagraph import PoaGraph
     from recgraph_tpu.io import fasta, gfa
     from recgraph_tpu.ops import poa_engine
@@ -46,12 +82,34 @@ def main(batch: int = 512, iters: int = 3) -> None:
     sm = ScoreMatrix.create("none", 2, -4)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
 
+    base_avx2, base_scalar = measure_cpu_baseline(g, sm, seqs)
+    print(
+        f"# measured CPU baseline: avx2={base_avx2:.3f} scalar={base_scalar:.3f} Gcells/s",
+        file=sys.stderr,
+    )
+
     reads = (seqs * ((batch // len(seqs)) + 1))[:batch]
     seq, L = encode_reads(reads)
     Lp = seq.shape[1]
     cells = batch * (dg.n - 1) * Lp
+    dev = jax.devices()[0].platform
 
-    def chained(k):
+    def line(metric, gcells, denom, extra=""):
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(gcells, 3),
+                    "unit": "Gcells/s",
+                    "vs_baseline": round(gcells / denom, 3),
+                }
+            )
+        )
+        if extra:
+            print(f"# {extra}", file=sys.stderr)
+
+    # ---- mode 1 (headline): local POA fill ----
+    def chained_local(k):
         @jax.jit
         def fn(seq, L):
             tot = jnp.int32(0)
@@ -62,38 +120,117 @@ def main(batch: int = 512, iters: int = 3) -> None:
                 s = jnp.roll(seq, tot & 3, axis=0)  # data dependency
             return tot
 
-        return fn
+        return lambda: int(fn(seq, L))
 
-    k_hi = 4
-    t = {}
-    for k in (1, k_hi):
-        fn = chained(k)
-        int(fn(seq, L))  # compile + warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            int(fn(seq, L))
-        t[k] = (time.perf_counter() - t0) / iters
-    dt = max((t[k_hi] - t[1]) / (k_hi - 1), 1e-9)
+    dt1 = slope_time(chained_local, iters)
+    headline = (
+        "local_poa_dp_throughput", cells / dt1 / 1e9, base_avx2,
+        f"mode1 batch={batch} n={dg.n} Lp={Lp} per-fill={dt1*1e3:.1f}ms "
+        f"reads/s={batch/dt1:.0f} device={dev}",
+    )
+    if headline_only:
+        line(*headline)
+        return
 
-    gcells = cells / dt / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "local_poa_dp_throughput",
-                "value": round(gcells, 3),
-                "unit": "Gcells/s",
-                "vs_baseline": round(gcells / BASELINE_GCELLS, 3),
-            }
+    # ---- mode 0: banded global POA fill ----
+    try:
+        bta = jnp.asarray([int(1 + 0.01 * len(s)) for s in reads], jnp.int32)
+
+        def chained_global(k):
+            @jax.jit
+            def fn(seq, L):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    out = poa_engine.fill_global_best(dg, table, s, L, bta, g)
+                    tot = tot + jnp.sum(out[0]) + out[3].reshape(-1)[12345]
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq, L))
+
+        dt0 = slope_time(chained_global, iters)
+        line(
+            "global_poa_dp_throughput", cells / dt0 / 1e9, base_avx2,
+            f"mode0 batch={batch} per-fill={dt0*1e3:.1f}ms reads/s={batch/dt0:.0f}",
         )
-    )
-    print(
-        f"# batch={batch} n={dg.n} Lp={Lp} per-fill={dt*1e3:.1f}ms "
-        f"reads/s={batch/dt:.0f} device={jax.devices()[0].platform}",
-        file=sys.stderr,
-    )
+    except Exception as e:
+        print(f"# mode0 bench failed: {e}", file=sys.stderr)
+
+    # ---- modes 4 and 8: pathwise / recombination fills ----
+    try:
+        from recgraph_tpu.ops import pathwise_engine, recombination_engine
+
+        pg = PathGraph.from_gfa(parsed)
+        pdg = pathwise_engine.path_device_graph(pg)
+        B4 = 32
+        seq4, L4 = encode_reads(reads[:B4])
+        P = pdg.paths_number
+        cells4 = B4 * pdg.n * seq4.shape[1] * P
+
+        def chained_pw(k):
+            @jax.jit
+            def fn(seq):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    A = pathwise_engine._fill_pathwise(
+                        pdg, table, s, jnp.bool_(False)
+                    )
+                    tot = tot + A.reshape(-1)[123] + jnp.max(A[:, :, -2, -1])
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq4))
+
+        dt4 = slope_time(chained_pw, iters)
+        line(
+            "pathwise_dp_throughput", cells4 / dt4 / 1e9, base_scalar,
+            f"mode4 batch={B4} P={P} per-fill={dt4*1e3:.1f}ms reads/s={B4/dt4:.0f}",
+        )
+    except Exception as e:
+        print(f"# mode4 bench failed: {e}", file=sys.stderr)
+
+    try:
+        rg = pg.reverse()
+        rdg = recombination_engine.rev_device_graph(rg)
+        B8 = 16
+        seq8, L8 = encode_reads(reads[:B8])
+        cells8 = 2 * B8 * pdg.n * seq8.shape[1] * P
+
+        def chained_rec(k):
+            @jax.jit
+            def fn(seq, L):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    Af = recombination_engine._fill_pathwise(
+                        pdg, table, s, jnp.bool_(False)
+                    )
+                    Ar = recombination_engine._fill_pathwise_rev(
+                        rdg, table, s, L, jnp.bool_(True)
+                    )
+                    tot = (
+                        tot + Af.reshape(-1)[123] + Ar.reshape(-1)[123]
+                        + jnp.max(Af[:, :, -2, -1]) + jnp.max(Ar[:, :, 1, 1])
+                    )
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq8, L8))
+
+        dt8 = slope_time(chained_rec, iters)
+        line(
+            "recombination_fills_throughput", cells8 / dt8 / 1e9, base_scalar,
+            f"mode8 batch={B8} per-fill-pair={dt8*1e3:.1f}ms reads/s={B8/dt8:.0f}",
+        )
+    except Exception as e:
+        print(f"# mode8 bench failed: {e}", file=sys.stderr)
+
+    line(*headline)
 
 
-def _bench_child(platform, batch, iters, q):
+def _bench_child(platform, batch, iters, headline_only, q):
     import jax as _jax
 
     if platform:
@@ -103,24 +240,27 @@ def _bench_child(platform, batch, iters, q):
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        main(batch, iters)
+        main(batch, iters, headline_only)
     q.put(buf.getvalue())
 
 
-def _run_guarded(batch, iters, timeout_s=300):
+def _run_guarded(batch, iters, timeout_s=540):
     """Run the bench in a child process with a watchdog.
 
     The dev TPU tunnel can wedge indefinitely; the driver must still get
-    a JSON line.  On timeout/failure, re-run on the CPU backend.
+    a JSON line.  On timeout/failure, re-run on the CPU backend
+    (headline only, small batch).
     """
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
 
-    # CPU fallback uses a smaller batch so it fits its own watchdog
-    for platform, b, t_s in ((None, batch, timeout_s), ("cpu", min(batch, 128), timeout_s)):
+    for platform, b, t_s, honly in (
+        (None, batch, timeout_s, False),
+        ("cpu", min(batch, 128), 300, True),
+    ):
         q = ctx.Queue()
-        p = ctx.Process(target=_bench_child, args=(platform, b, iters, q))
+        p = ctx.Process(target=_bench_child, args=(platform, b, iters, honly, q))
         p.start()
         p.join(t_s)
         if p.is_alive():

@@ -86,6 +86,17 @@ def load():
     lib.read_fasta.restype = ctypes.c_void_p
     lib.read_fasta.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
     lib.free_buffer.argtypes = [ctypes.c_void_p]
+    for fn, tab_t, out_t in (
+        (lib.baseline_local_scalar, ctypes.c_void_p, ctypes.c_void_p),
+        (lib.baseline_local_avx2, ctypes.c_void_p, ctypes.c_void_p),
+    ):
+        fn.restype = ctypes.c_double
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, tab_t,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, out_t,
+        ]
     _lib = lib
     return _lib
 
@@ -191,6 +202,62 @@ def gaf_emit_poa_walk(dirs, rows, stop_row, query_start, last_row, query_end,
     if rc < 0:
         return None
     return out.raw[:rc].decode()
+
+
+def baseline_local_cpu(g, sm, sequences, repeats=1, simd=True):
+    """Measured CPU baseline: the reference's local-POA kernel
+    (local_poa.rs scalar `exec` / AVX2 `exec_simd`) reimplemented in C++
+    and timed on this host.  Returns (seconds, scores ndarray) or None.
+
+    Stands in for the Rust binary that cannot be built here; the C++
+    version is deliberately at least as fast as the Rust (dense table
+    lookups instead of per-cell HashMap gets — see baseline_scalar.cpp).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    from . import scoring
+
+    n = g.n
+    codes = np.ascontiguousarray(np.asarray(g.codes, dtype=np.int8))
+    node_start = np.ascontiguousarray(
+        np.asarray(g.node_start, dtype=np.uint8)
+    )
+    max_preds = max(len(v) for v in g.preds.values()) if g.preds else 1
+    pred_idx = np.full((n, max_preds), -1, dtype=np.int32)
+    for i in range(1, n):
+        if g.node_start[i] and i in g.preds:
+            ps = g.preds[i]
+            pred_idx[i, : len(ps)] = ps
+        else:
+            pred_idx[i, 0] = i - 1
+    pred_idx = np.ascontiguousarray(pred_idx)
+    lens = np.asarray([len(s) for s in sequences], dtype=np.int32)
+    stride = int(lens.max())
+    reads = np.zeros((len(sequences), stride), dtype=np.int8)
+    for r, s in enumerate(sequences):
+        reads[r, : len(s)] = scoring.encode(s)
+    reads = np.ascontiguousarray(reads)
+    if simd:
+        table = np.ascontiguousarray(sm.table.astype(np.float32))
+        out = np.zeros(len(sequences), dtype=np.float32)
+        fn = lib.baseline_local_avx2
+    else:
+        table = np.ascontiguousarray(sm.table.astype(np.int32))
+        out = np.zeros(len(sequences), dtype=np.int32)
+        fn = lib.baseline_local_scalar
+    secs = fn(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        node_start.ctypes.data_as(ctypes.c_void_p),
+        pred_idx.ctypes.data_as(ctypes.c_void_p),
+        n, max_preds,
+        table.ctypes.data_as(ctypes.c_void_p),
+        reads.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        len(sequences), stride, repeats,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return float(secs), out
 
 
 def band_check_walk(gap, dirs, rows, lefts, rights, last_row, last_col_abs,
