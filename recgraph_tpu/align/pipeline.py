@@ -52,6 +52,13 @@ class Options:
     extra_b: int = 1
     extra_f: float = 0.01
     engine: str = "jax"
+    # scale-out (TPU-native extensions; the reference is single-core) —
+    # data parallelism over local chips is automatic when >1 device is
+    # visible; these wire multi-host runs (parallel.distributed)
+    num_processes: int = 1
+    process_id: int | None = None
+    coordinator: str | None = None
+    no_data_parallel: bool = False
 
 
 def _bta(opts: Options, seq: str) -> int:
@@ -166,11 +173,93 @@ def run(opts: Options) -> None:
         _run(opts)
 
 
+def _setup_parallel(opts: Options):
+    """Process group + local reads mesh for the data-parallel pipeline.
+
+    Returns (process_id, num_processes, previous_mesh_or_sentinel):
+    the reads mesh over this host's local devices is installed as the
+    active mesh (ops.encode picks it up), replacing the reference's
+    sequential per-read loop (src/main.rs:56) with reads-axis SPMD.
+    """
+    import os
+
+    from ..parallel import distributed, mesh as pmesh
+
+    pid, nproc = 0, 1
+    if opts.num_processes and opts.num_processes > 1:
+        pid, nproc = distributed.initialize(
+            opts.coordinator, opts.num_processes, opts.process_id
+        )
+    prev = False
+    if (
+        opts.engine == "jax"
+        and not opts.no_data_parallel
+        and not os.environ.get("RECGRAPH_NO_DP")
+    ):
+        mesh = pmesh.auto_mesh()
+        if mesh is not None:
+            prev = pmesh.set_active_mesh(mesh)
+            print(
+                f"data-parallel: sharding reads over {mesh.size} local "
+                f"devices", file=sys.stderr,
+            )
+    return pid, nproc, prev
+
+
 def _run(opts: Options) -> None:
     import os
 
+    from ..parallel import distributed, mesh as pmesh
+
     t0 = time.time()
+    if opts.num_processes > 1 and opts.out_file == "standard output":
+        # fail fast: jax.distributed.initialize blocks on the
+        # coordinator barrier, so a doomed run must bail before joining
+        raise SystemExit("multi-process runs require -o <file>")
+    pid, nproc, prev_mesh = _setup_parallel(opts)
+    try:
+        _run_host(opts, pid, nproc, t0)
+    finally:
+        if prev_mesh is not False:
+            pmesh.set_active_mesh(prev_mesh)
+    if nproc > 1:
+        # result gather: barrier, then process 0 concatenates parts
+        # (the only cross-host data motion — reads are embarrassingly
+        # parallel, SURVEY.md §2.3 / parallel.distributed docstring)
+        import jax
+
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("recgraph_gaf_parts")
+        if pid == 0:
+            distributed.merge_host_outputs(opts.out_file, nproc)
+
+
+def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
+    import os
+
+    from ..parallel import distributed
+
     sequences, names = fasta.get_sequences(opts.sequence_path)
+    host_offset = 0
+    if nproc > 1:
+        if opts.out_file == "standard output":
+            raise SystemExit("multi-process runs require -o <file>")
+        sl = distributed.host_read_slice(len(sequences), pid, nproc)
+        host_offset = sl.start
+        sequences = sequences[sl]
+        names = names[sl]
+        opts = __import__("dataclasses").replace(
+            opts, out_file=f"{opts.out_file}.part{pid}"
+        )
+        # the writer's number==1 truncation quirk never fires for
+        # pid>0 (host_offset shifts numbers), so clear stale parts
+        # explicitly — unless resuming into them
+        if not os.environ.get("RECGRAPH_RESUME") and os.path.exists(opts.out_file):
+            os.remove(opts.out_file)
+        if not sequences:
+            open(opts.out_file, "w").close()
+            return
 
     # checkpoint/resume (SURVEY.md §5): with RECGRAPH_RESUME=1 and an
     # -o file, skip reads whose GAF lines are already present and
@@ -198,7 +287,7 @@ def _run(opts: Options) -> None:
                 return
     parsed = gfa.parse_gfa(opts.graph_path)
     sm = ScoreMatrix.create(opts.matrix, opts.match_score, -opts.mismatch_score)
-    writer = GafWriter(opts.out_file, number_offset=resume_skip)
+    writer = GafWriter(opts.out_file, number_offset=resume_skip + host_offset)
     mode = opts.alignment_mode
 
     if mode in (0, 1, 2, 3):
@@ -253,13 +342,22 @@ def _run(opts: Options) -> None:
     elif mode in (6, 7):
         g = PathGraph.from_gfa(parsed, is_reversed=False)
         o, e = -opts.gap_open, -opts.gap_extension
-        for i, seq in enumerate(sequences):
-            if mode == 6:
-                best_path, cigar = pathwise_gap.exec_gap_global(seq, g, sm, o, e)
-            else:
-                best_path, cigar = pathwise_gap.exec_gap_semiglobal(seq, g, sm, o, e)
-            print(cigar)
-            print(f"Best path sequence {i}: {best_path}")
+        # reference behaviour: 6/7 print to stdout regardless of -o
+        # (main.rs:277); multi-host runs instead write their part file
+        # so the process-0 merge sees every host's lines
+        import contextlib
+
+        sink = (
+            open(opts.out_file, "w") if nproc > 1 else contextlib.nullcontext(sys.stdout)
+        )
+        with sink as fh:
+            for i, seq in enumerate(sequences):
+                if mode == 6:
+                    best_path, cigar = pathwise_gap.exec_gap_global(seq, g, sm, o, e)
+                else:
+                    best_path, cigar = pathwise_gap.exec_gap_semiglobal(seq, g, sm, o, e)
+                print(cigar, file=fh)
+                print(f"Best path sequence {i + host_offset}: {best_path}", file=fh)
     elif mode in (8, 9):
         g = PathGraph.from_gfa(parsed, is_reversed=False)
         rg = g.reverse()

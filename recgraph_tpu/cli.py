@@ -70,6 +70,34 @@ def build_parser() -> argparse.ArgumentParser:
         default="jax",
         help="compute engine: batched TPU kernels (jax) or the scalar spec (oracle)",
     )
+    # scale-out (TPU-native extensions; reads are sharded over all local
+    # devices automatically — these flags add multi-host data parallelism)
+    p.add_argument(
+        "--num-processes",
+        dest="num_processes",
+        type=int,
+        default=1,
+        help="number of host processes in a multi-host run",
+    )
+    p.add_argument(
+        "--process-id",
+        dest="process_id",
+        type=int,
+        default=None,
+        help="this host's index in [0, num-processes)",
+    )
+    p.add_argument(
+        "--coordinator",
+        dest="coordinator",
+        default=None,
+        help="jax.distributed coordinator address (host:port)",
+    )
+    p.add_argument(
+        "--no-data-parallel",
+        dest="no_data_parallel",
+        action="store_true",
+        help="disable automatic reads sharding over local devices",
+    )
     return p
 
 
@@ -92,6 +120,10 @@ def main(argv: list[str] | None = None) -> None:
         extra_b=args.extra_b,
         extra_f=args.extra_f,
         engine=args.engine,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        coordinator=args.coordinator,
+        no_data_parallel=args.no_data_parallel,
     )
     run(opts)
 

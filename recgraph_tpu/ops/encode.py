@@ -44,10 +44,43 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _mesh_key():
+    from ..parallel import mesh as pmesh
+
+    m = pmesh.get_active_mesh()
+    return m, (None if m is None else tuple(id(d) for d in m.devices.flat))
+
+
+def _place_device_graph(g: object, build, key: str = "_device_graph") -> object:
+    """Cache a device graph per (graph, active mesh).
+
+    The uncommitted single-device build is kept as the base; when a
+    data-parallel mesh is active its arrays are replicated across the
+    mesh (once — reused by every subsequent batch).
+    """
+    mesh, mkey = _mesh_key()
+    if g.__dict__.get(key + "_mesh", ()) == mkey:
+        return g.__dict__[key]
+    base = g.__dict__.get(key + "_base")
+    if base is None:
+        base = build()
+        g.__dict__[key + "_base"] = base
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        dg = pmesh.replicate(mesh, base)
+    else:
+        dg = base
+    g.__dict__[key] = dg
+    g.__dict__[key + "_mesh"] = mkey
+    return dg
+
+
 def poa_device_graph(g: PoaGraph) -> PoaDeviceGraph:
-    cached = g.__dict__.get("_device_graph")
-    if cached is not None:
-        return cached
+    return _place_device_graph(g, lambda: _build_poa_device_graph(g))
+
+
+def _build_poa_device_graph(g: PoaGraph) -> PoaDeviceGraph:
     idx, mask = g.padded_preds()
     n = g.n
     min_pred = np.zeros(n, dtype=np.int32)
@@ -64,7 +97,6 @@ def poa_device_graph(g: PoaGraph) -> PoaDeviceGraph:
         n=n,
         max_preds=idx.shape[1],
     )
-    g.__dict__["_device_graph"] = dg
     return dg
 
 
@@ -96,9 +128,10 @@ jax.tree_util.register_dataclass(
 
 
 def path_device_graph(g: PathGraph) -> PathDeviceGraph:
-    cached = g.__dict__.get("_device_graph")
-    if cached is not None:
-        return cached
+    return _place_device_graph(g, lambda: _build_path_device_graph(g))
+
+
+def _build_path_device_graph(g: PathGraph) -> PathDeviceGraph:
     rep_of, pred_of = pathwise_meta(g)
     dg = PathDeviceGraph(
         codes=jnp.asarray(g.codes, dtype=jnp.int32),
@@ -110,7 +143,6 @@ def path_device_graph(g: PathGraph) -> PathDeviceGraph:
         n=g.n,
         paths_number=g.paths_number,
     )
-    g.__dict__["_device_graph"] = dg
     return dg
 
 
@@ -130,4 +162,27 @@ def encode_reads(sequences: list[str], pad_to: int | None = None):
     out = np.full((len(sequences), Lp), scoring.N, dtype=np.int32)
     for b, s in enumerate(sequences):
         out[b, : len(s)] = scoring.encode(s)
+
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.get_active_mesh()
+    if mesh is not None:
+        # data-parallel: pad the batch to a mesh multiple (copies of
+        # read 0; callers index results by len(sequences) so padded
+        # lanes are discarded) and commit with a reads-axis sharding —
+        # every downstream jit then runs SPMD via sharding propagation
+        return tuple(pmesh.shard_read_arrays(mesh, out, lengths))
     return jnp.asarray(out), jnp.asarray(lengths)
+
+
+def encode_read_aux(values, dtype=np.int32):
+    """A per-read auxiliary array (bta, best-path ids, …), batch-aligned
+    with :func:`encode_reads` — same row-0 padding and reads sharding
+    when a data-parallel mesh is active."""
+    from ..parallel import mesh as pmesh
+
+    a = np.asarray(values, dtype=dtype)
+    mesh = pmesh.get_active_mesh()
+    if mesh is not None:
+        return pmesh.shard_read_arrays(mesh, a)[0]
+    return jnp.asarray(a)

@@ -31,7 +31,7 @@ import numpy as np
 from ..io.gaf import GafRecord
 from ..oracle import pathwise
 from ..scoring import GAP
-from .encode import path_device_graph, encode_reads
+from .encode import path_device_graph, encode_reads, encode_read_aux
 from .poa_engine import D, LOW_D, L_DIR, U_DIR
 
 NEG = -(1 << 28)
@@ -199,7 +199,7 @@ def run_batch(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
             bps.append(bp)
             nodes.append(node)
         planes = np.asarray(
-            jax.device_get(_extract_plane(A, jnp.asarray(bps, dtype=jnp.int32)))
+            jax.device_get(_extract_plane(A, encode_read_aux(bps)))
         )
         del A
         for b, s in enumerate(chunk_seqs):
@@ -352,15 +352,15 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
             bps.append(bp)
             nodes.append(node)
             scores.append(int(finalcol[b, bp, node]))
-        bps_j = jnp.asarray(bps, dtype=jnp.int32)
+        bps_j = encode_read_aux(bps)
         planes = _extract_plane(A, bps_j)
         pred_of_bp = jnp.take_along_axis(
-            jnp.broadcast_to(pred_of_full.T[None], (len(chunk_seqs), P, n)),
+            jnp.broadcast_to(pred_of_full.T[None], (seq.shape[0], P, n)),
             bps_j[:, None, None], axis=1,
         )[:, 0]
         dirs, rows, steps, stop_i = _walk_pathwise(
             planes, seq, L, table, jnp.asarray(g.node_start),
-            dg.codes, pred_of_bp, jnp.asarray(nodes, dtype=jnp.int32),
+            dg.codes, pred_of_bp, encode_read_aux(nodes),
             global_mode=not semiglobal, max_steps=W,
         )
         del A, planes

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..oracle.poa import PoaState, _band_ampl_enough
 from ..scoring import GAP
-from .encode import poa_device_graph, encode_reads
+from .encode import poa_device_graph, encode_reads, encode_read_aux
 
 NEG = -(1 << 28)  # -inf stand-in that survives a few additions in int32
 
@@ -353,6 +353,46 @@ def _pad_batch(arrs, B, Bp):
     return out
 
 
+def _pallas_batch_plan(seq_arrs, lane=8):
+    """Pad + (re)shard a read batch for a Pallas fill.
+
+    Pallas kernels need the per-device batch to be a multiple of their
+    batch tile; GSPMD cannot partition a pallas_call, so when a
+    data-parallel mesh is active the call is wrapped in shard_map
+    (see fill_*_best).  Returns (mesh, padded arrays, Bt).
+    """
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.get_active_mesh()
+    nshard = 1 if mesh is None or mesh.size <= 1 else mesh.size
+    B = seq_arrs[0].shape[0]
+    mult = nshard * lane
+    Bp = -(-B // mult) * mult
+    per = Bp // nshard
+    Bt = 32 if per % 32 == 0 else lane
+    if Bp != B:
+        seq_arrs = _pad_batch(seq_arrs, B, Bp)
+    if nshard > 1:
+        sh = pmesh.reads_sharding(mesh)
+        seq_arrs = [jax.device_put(a, sh) for a in seq_arrs]
+        return mesh, seq_arrs, Bt
+    return None, seq_arrs, Bt
+
+
+def _shard_map_fill(mesh, fn, n_in, out_batch_axes):
+    """shard_map ``fn`` with reads-sharded ins and batch-axis outs."""
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+    in_specs = tuple(P(ax) for _ in range(n_in))
+    out_specs = tuple(
+        P(*([None] * a + [ax])) for a in out_batch_axes
+    )
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
 def fill_global_best(dg, table, seq, L, bta, g=None):
     """Mode-0 fill through the fastest available backend.
 
@@ -367,13 +407,11 @@ def fill_global_best(dg, table, seq, L, bta, g=None):
         smem_ok = dg.n * (dg.max_preds + 6) * 4 < 700_000
         if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
-            Bp = -(-B // 8) * 8
-            Bt = 32 if Bp % 32 == 0 else 8
-            if Bp != B:
-                seq, L, bta = _pad_batch((seq, L, bta), B, Bp)
-            score, lrow, lcol, packed = pallas_poa.fill_global(
-                dg, table, seq, L, bta, Bt=Bt
-            )
+            mesh, (seq, L, bta), Bt = _pallas_batch_plan((seq, L, bta))
+            fill = lambda s, l, b: pallas_poa.fill_global(dg, table, s, l, b, Bt=Bt)
+            if mesh is not None:
+                fill = _shard_map_fill(mesh, fill, 3, (0, 0, 0, 1))
+            score, lrow, lcol, packed = fill(seq, L, bta)
             return score[:B], lrow[:B], lcol[:B], packed[:, :B], None, None, 1
     out = _fill_global(dg, table, seq, L, bta)
     return out + (0,)
@@ -395,16 +433,14 @@ def fill_local_best(dg, table, seq, L, g=None):
         smem_ok = dg.n * (dg.max_preds + 5) * 4 < 700_000
         if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
-            Bp = -(-B // 8) * 8
-            Bt = 32 if Bp % 32 == 0 else 8
-            if Bp != B:
-                seq, L = _pad_batch((seq, L), B, Bp)
+            mesh, (seq, L), Bt = _pallas_batch_plan((seq, L))
             # v2 (R rows per grid step + single-pred fast path) is the
             # fastest measured kernel (PERF.md); packed rows may be
             # padded past n — callers slice [:n]
-            bv, bi, bj, packed = pallas_poa_v2.fill_local_v2(
-                dg, table, seq, L, Bt=Bt
-            )
+            fill = lambda s, l: pallas_poa_v2.fill_local_v2(dg, table, s, l, Bt=Bt)
+            if mesh is not None:
+                fill = _shard_map_fill(mesh, fill, 2, (0, 0, 0, 1))
+            bv, bi, bj, packed = fill(seq, L)
             return bv[:B], bi[:B], bj[:B], packed[:, :B], 1
     return _fill_local(dg, table, seq, L) + (0,)
 
@@ -430,7 +466,7 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     seq, L = encode_reads(sequences)
     B = len(sequences)
     if mode == 0:
-        bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
+        bta = encode_read_aux(btas)
         score, last_row, last_col, packed, lefts, rights, baxis = fill_global_best(
             dg, table, seq, L, bta, g
         )
@@ -547,7 +583,7 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
     gap = mode in (2, 3)
     banded = mode in (0, 2)
     if mode == 0:
-        bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
+        bta = encode_read_aux(btas)
         score, last_row, last_col, packed, lefts, rights, baxis = fill_global_best(
             dg, table, seq, L, bta, g
         )
@@ -568,8 +604,7 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
         from . import poa_gap_engine
 
         out = poa_gap_engine._fill_gap_global(
-            dg, table, seq, L,
-            jnp.asarray(np.asarray(btas, dtype=np.int32)),
+            dg, table, seq, L, encode_read_aux(btas),
             jnp.int32(o), jnp.int32(e),
         )[:8]
         score, last_row, last_col, packed, px, py, lefts, rights = out

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle.poa import PoaState, _gap_band_ampl_enough
-from .encode import poa_device_graph, encode_reads
+from .encode import poa_device_graph, encode_reads, encode_read_aux
 from .poa_engine import (
     NEG,
     O,
@@ -410,7 +410,7 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     oj = jnp.int32(o)
     ej = jnp.int32(e)
     if mode == 2:
-        bta = jnp.asarray(np.asarray(btas, dtype=np.int32))
+        bta = encode_read_aux(btas)
         # XLA's CPU fusion codegen miscompiles this scan for tiny graphs
         # (fusion_compiler.cc RET_CHECK, n <= ~8); run those eagerly —
         # they are test-sized anyway.  TPU is unaffected.

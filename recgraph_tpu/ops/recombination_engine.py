@@ -51,9 +51,14 @@ NEGF = jnp.float32(-3.0e38)
 
 
 def rev_device_graph(rg: PathGraph) -> PathDeviceGraph:
-    cached = rg.__dict__.get("_device_graph_rev")
-    if cached is not None:
-        return cached
+    from .encode import _place_device_graph
+
+    return _place_device_graph(
+        rg, lambda: _build_rev_device_graph(rg), key="_device_graph_rev"
+    )
+
+
+def _build_rev_device_graph(rg: PathGraph) -> PathDeviceGraph:
     rep_of, pred_of = pathwise_meta_rev(rg)
     dg = PathDeviceGraph(
         codes=jnp.asarray(rg.codes, dtype=jnp.int32),
@@ -65,7 +70,6 @@ def rev_device_graph(rg: PathGraph) -> PathDeviceGraph:
         n=rg.n,
         paths_number=rg.paths_number,
     )
-    rg.__dict__["_device_graph_rev"] = dg
     return dg
 
 
@@ -343,19 +347,20 @@ def run_batch(
             dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
         )
 
+        Bp = seq.shape[0]  # >= B when a data-parallel mesh pads the batch
         finalcol = np.asarray(jax.device_get(_final_column(Af, L)))
-        init_best = np.zeros(B, dtype=np.float32)
-        base_paths = np.zeros(B, dtype=np.int32)
+        init_best = np.zeros(Bp, dtype=np.float32)
+        base_paths = np.zeros(Bp, dtype=np.int32)
         for b in range(B):
             init_best[b], base_paths[b] = _baseline(mode, finalcol[b], g)
 
         fmax, farg = _path_argmax(Af)
         rmax, rarg = _path_argmax(Ar)
         vf = jnp.take_along_axis(
-            jnp.broadcast_to(paths_on[None], (B, n, P)), farg, axis=2
+            jnp.broadcast_to(paths_on[None], (Bp, n, P)), farg, axis=2
         )
         vr = jnp.take_along_axis(
-            jnp.broadcast_to(paths_on[None], (B, n, P)), rarg, axis=2
+            jnp.broadcast_to(paths_on[None], (Bp, n, P)), rarg, axis=2
         )
         jcol = np.arange(seq.shape[1])
         Lnp = np.asarray(jax.device_get(L))
@@ -614,19 +619,20 @@ def run_batch_walks(
             dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
         )
 
+        Bp = seq.shape[0]  # >= B when a data-parallel mesh pads the batch
         finalcol = np.asarray(jax.device_get(_final_column(Af, L)))
-        init_best = np.zeros(B, dtype=np.float32)
-        base_paths = np.zeros(B, dtype=np.int32)
+        init_best = np.zeros(Bp, dtype=np.float32)
+        base_paths = np.zeros(Bp, dtype=np.int32)
         for b in range(B):
             init_best[b], base_paths[b] = _baseline(mode, finalcol[b], g)
 
         fmax, farg = _path_argmax(Af)
         rmax, rarg = _path_argmax(Ar)
         vf = jnp.take_along_axis(
-            jnp.broadcast_to(paths_on[None], (B, n, P)), farg, axis=2
+            jnp.broadcast_to(paths_on[None], (Bp, n, P)), farg, axis=2
         )
         vr = jnp.take_along_axis(
-            jnp.broadcast_to(paths_on[None], (B, n, P)), rarg, axis=2
+            jnp.broadcast_to(paths_on[None], (Bp, n, P)), rarg, axis=2
         )
         jcol = np.arange(seq.shape[1])
         Lnp = np.asarray(jax.device_get(L))
@@ -648,8 +654,9 @@ def run_batch_walks(
 
         # per-read forward walk start: (fen, rec_col) when a split was
         # taken, else the mode's no-rec ending at the last column
-        start_i = np.zeros(B, dtype=np.int32)
-        start_j = np.zeros(B, dtype=np.int32)
+        # (padded rows start at (0,0): immediately-done walks)
+        start_i = np.zeros(Bp, dtype=np.int32)
+        start_j = np.zeros(Bp, dtype=np.int32)
         for b in range(B):
             if taken[b]:
                 start_i[b] = fen[b]
@@ -674,11 +681,11 @@ def run_batch_walks(
         fplane = _extract_plane(Af, fp_j)
         rplane = _extract_plane(Ar, rp_j)
         pred_of_bp = jnp.take_along_axis(
-            jnp.broadcast_to(pred_f_full.T[None], (B, P, n)),
+            jnp.broadcast_to(pred_f_full.T[None], (Bp, P, n)),
             fp_j[:, None, None], axis=1,
         )[:, 0]
         succ_of_rp = jnp.take_along_axis(
-            jnp.broadcast_to(pred_r_full.T[None], (B, P, n)),
+            jnp.broadcast_to(pred_r_full.T[None], (Bp, P, n)),
             rp_j[:, None, None], axis=1,
         )[:, 0]
         fdirs, frows, fsteps, fstop = _walk_pathwise(

@@ -1,10 +1,10 @@
-"""Multi-host read sharding: a real two-process jax.distributed run.
+"""Multi-host read sharding through the production CLI.
 
-Each worker process initialises the process group, takes its
-host_read_slice of the corpus, aligns it on its local (CPU) devices and
-writes a .part<k> file; the merged output must equal a single-process
-run.  This exercises parallel/distributed.py end-to-end the way a
-multi-host TPU job would use it (one process per host).
+Two worker processes each run the real CLI entry point with
+``--num-processes/--process-id/--coordinator`` (pipeline._setup_parallel
+initialises jax.distributed, takes the host's read slice, writes
+``<out>.part<k>``; process 0 merges after the barrier).  The merged
+output must equal a single-process run byte-for-byte.
 """
 
 import os
@@ -16,48 +16,36 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The production CLI, with the platform pinned to CPU first (the axon
+# TPU plugin overrides JAX_PLATFORMS at import; config.update wins).
 WORKER = r"""
 import sys
 import jax
 jax.config.update("jax_platforms", "cpu")
-coord, pid, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-
-from recgraph_tpu.parallel import distributed
-distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
-assert jax.process_count() == 2
-
-from recgraph_tpu.align.pipeline import Options, run
-from recgraph_tpu.io import fasta
-
-seqs, _ = fasta.get_sequences("example/reads.fa")
-sl = distributed.host_read_slice(len(seqs))
-
-# write this host's slice of reads to a temp fasta, align, emit part file
-import tempfile
-names_seqs = list(zip(*fasta.get_sequences("example/reads.fa")))
-with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as fh:
-    for s, n in list(zip(*fasta.get_sequences("example/reads.fa")))[sl]:
-        fh.write(f">{n}\n{s[1:]}\n")
-    tmp = fh.name
-run(Options(sequence_path=tmp, graph_path="example/graph.gfa",
-            alignment_mode=1, out_file=f"{out}.part{pid}"))
-print("worker", pid, "done")
+from recgraph_tpu.cli import main
+main(sys.argv[1:])
 """
 
 
-def test_two_process_sharded_run(tmp_path, example_paths):
+def _spawn_workers(tmp_path, out, mode_args):
     port = socket.socket()
     port.bind(("localhost", 0))
     addr = f"localhost:{port.getsockname()[1]}"
     port.close()
-    out = str(tmp_path / "out.gaf")
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), addr, str(k), out],
+            [
+                sys.executable, str(script), *mode_args,
+                "example/reads.fa", "example/graph.gfa",
+                "-o", out,
+                "--num-processes", "2",
+                "--process-id", str(k),
+                "--coordinator", addr,
+            ],
             cwd=ROOT, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
@@ -72,9 +60,10 @@ def test_two_process_sharded_run(tmp_path, example_paths):
             pytest.fail("distributed worker timed out")
         assert p.returncode == 0, se.decode()[-2000:]
 
-    from recgraph_tpu.parallel.distributed import merge_host_outputs
 
-    merge_host_outputs(out, 2)
+def test_two_process_cli_run(tmp_path, example_paths):
+    out = str(tmp_path / "out.gaf")
+    _spawn_workers(tmp_path, out, ["-m", "1"])
 
     # reference: single-process run over the whole corpus
     import contextlib
@@ -88,3 +77,5 @@ def test_two_process_sharded_run(tmp_path, example_paths):
         run(Options(sequence_path=reads_fa, graph_path=graph_gfa,
                     alignment_mode=1))
     assert open(out).read() == buf.getvalue()
+    # per-host part files exist (written before the merge)
+    assert os.path.exists(out + ".part0") and os.path.exists(out + ".part1")

@@ -1,15 +1,30 @@
-"""Multi-chip sharding: shard_map over the 8-device virtual CPU mesh."""
+"""Multi-chip data parallelism on the 8-device virtual CPU mesh.
+
+Two layers of coverage:
+
+- fill-level: the explicit ``shard_map`` wrappers in parallel.mesh
+  match the single-device engines bit-for-bit;
+- pipeline-level: a full `align.pipeline.run` with the reads mesh
+  active (the conftest's 8 virtual devices make `auto_mesh` fire)
+  emits byte-identical GAF to a forced single-device run, with the
+  52-read corpus giving every shard distinct reads.
+"""
+
+import contextlib
+import io
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from recgraph_tpu.align.pipeline import Options, run
 from recgraph_tpu.graph.poagraph import PoaGraph
 from recgraph_tpu.io import fasta, gfa
 from recgraph_tpu.ops import poa_engine
 from recgraph_tpu.ops.encode import encode_reads, poa_device_graph
 from recgraph_tpu.parallel import make_mesh, sharded_poa_fill
+from recgraph_tpu.parallel import mesh as pmesh
 from recgraph_tpu.scoring import ScoreMatrix
 
 
@@ -31,6 +46,12 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+def test_auto_mesh_finds_local_devices():
+    mesh = pmesh.auto_mesh()
+    assert mesh is not None and mesh.size == 8
+    assert mesh.axis_names == (pmesh.READS_AXIS,)
+
+
 def test_sharded_mode0_matches_single_device(problem):
     dg, table, seq, L, bta = problem
     mesh = make_mesh(8)
@@ -49,3 +70,65 @@ def test_sharded_mode1_matches_single_device(problem):
     out_single = poa_engine._fill_local(dg, table, seq, L)
     for a, b in zip(out_sharded, out_single):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shard_read_arrays_pads_and_shards():
+    mesh = make_mesh(8)
+    a = np.arange(3 * 4, dtype=np.int32).reshape(3, 4)
+    (out,) = pmesh.shard_read_arrays(mesh, a)
+    assert out.shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(out[:3]), a)
+    np.testing.assert_array_equal(np.asarray(out[3:]), np.repeat(a[:1], 5, 0))
+    assert out.sharding.spec == jax.sharding.PartitionSpec(pmesh.READS_AXIS)
+
+
+# --- pipeline-level: full run(), data-parallel vs single-device -----------
+
+def _pipeline_gaf(example_paths, reads=None, **kw) -> str:
+    reads_fa, graph_gfa = example_paths
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run(Options(sequence_path=reads or reads_fa, graph_path=graph_gfa, **kw))
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def subset12(tmp_path_factory, example_paths):
+    """12 distinct reads (>8 => every mesh shard gets real, distinct work)."""
+    reads_fa, _ = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    p = tmp_path_factory.mktemp("mc") / "subset12.fa"
+    with open(p, "w") as fh:
+        for s, n in list(zip(seqs, names))[:12]:
+            fh.write(f">{n}\n{s[1:]}\n")  # strip the '$' sentinel
+    return str(p)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3, 4, 5])
+def test_pipeline_data_parallel_matches_single_device(example_paths, mode):
+    dp = _pipeline_gaf(example_paths, alignment_mode=mode)
+    sd = _pipeline_gaf(example_paths, alignment_mode=mode, no_data_parallel=True)
+    assert dp == sd
+    assert dp.count("\n") >= 52
+
+
+def test_pipeline_data_parallel_mode8(example_paths, subset12):
+    dp = _pipeline_gaf(example_paths, reads=subset12, alignment_mode=8)
+    sd = _pipeline_gaf(
+        example_paths, reads=subset12, alignment_mode=8, no_data_parallel=True
+    )
+    assert dp == sd
+    assert dp.count("\n") == 12
+
+
+def test_pipeline_data_parallel_hoxd(example_paths, subset12):
+    """HOXD70 is asymmetric — catches score-orientation bugs that uniform
+    match/mismatch tables cannot (see STATUS.md)."""
+    dp = _pipeline_gaf(
+        example_paths, reads=subset12, alignment_mode=1, matrix="HOXD70"
+    )
+    sd = _pipeline_gaf(
+        example_paths, reads=subset12, alignment_mode=1, matrix="HOXD70",
+        no_data_parallel=True,
+    )
+    assert dp == sd
