@@ -36,7 +36,23 @@ from .poa_engine import NEG, O, D, LOW_D, L_DIR, U_DIR
 from .pallas_poa import RING, _prefix_max_chain
 
 
-def _make_local_kernel_v4(R: int, steps: int):
+def _chain_cummax(x, jcol, Lp):
+    return jax.lax.cummax(x, axis=1)
+
+
+def _chain_roll(x, jcol, Lp):
+    return _prefix_max_chain(x, jcol, Lp)
+
+
+_CHAINS = {"roll": _chain_roll, "cummax": _chain_cummax}
+
+
+def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
+                          chain: str = "roll"):
+    """``strip`` removes named kernel features FOR TIMING ABLATIONS ONLY
+    (results become wrong): 'sweep' (start-row pred sweep), 'ringw'
+    (ring write), 'chain' (prefix-max chain), 'dynsub' (dynamic
+    sub/eq row reads), 'pack' (direction derivation + packing)."""
     def kernel(
         pred_idx_ref,   # i32[n * Pm] (flat)
         is_start_ref,   # i32[n]
@@ -78,14 +94,14 @@ def _make_local_kernel_v4(R: int, steps: int):
             live = (i > 0) & (i < nrows)
             code_i = codes_ref[ii]
             gnode_i = gnode_ref[ii]
-            subrow = sub_ref[code_i]
+            subrow = sub_ref[code_i] if "dynsub" not in strip else sub_ref[0]
             is_start = (is_start_ref[ii] != 0) & live
 
             # fast path (unconditional): single predecessor = previous row
             p_row = prev[:, :]
             fast_d = jnp.where(j0, NEG, pltpu.roll(p_row, 1, 1))
 
-            @pl.when(is_start)
+            @pl.when(is_start if "sweep" not in strip else (is_start & False))
             def _():
                 # full first-best predecessor sweep (ascending iteration
                 # keeps the first best, local_poa.rs:257-293)
@@ -125,7 +141,8 @@ def _make_local_kernel_v4(R: int, steps: int):
             # (max,+) prefix chain for the in-row L dependency
             A = jnp.maximum(jnp.maximum(d_val, u_val), 0)
             A = jnp.where(j0, 0, A)
-            x = _prefix_max_chain(A - G, jcol, Lp)
+            x = (_CHAINS[chain](A - G, jcol, Lp)
+                 if "chain" not in strip else A - G)
             m_row = G + x
             m_row = jnp.where(valid, m_row, NEG)
             m_row = jnp.where(j0, 0, m_row)
@@ -138,7 +155,7 @@ def _make_local_kernel_v4(R: int, steps: int):
             d_ge_u = d_val >= u_val
             dirD = d_ge_u & (d_val >= l_val)
             dirU = (~d_ge_u) & (u_val >= l_val)
-            match = eq_ref[code_i] != 0
+            match = (eq_ref[code_i] if "dynsub" not in strip else eq_ref[0]) != 0
             dcode = jnp.where(
                 dirD, jnp.where(match, D, LOW_D), jnp.where(dirU, U_DIR, L_DIR)
             )
@@ -146,7 +163,10 @@ def _make_local_kernel_v4(R: int, steps: int):
             border = all_neg | j0 | ~valid | ~live
             dcode = jnp.where(border, O, dcode)
             pred_sel = jnp.where(border, 0, pred_sel)
-            packed_ref[r] = pred_sel * 16 + dcode
+            if "pack" not in strip:
+                packed_ref[r] = pred_sel * 16 + dcode
+            else:
+                packed_ref[r] = m_row
 
             # per-lane strict-> best: first row to reach a lane's max wins
             row_masked = jnp.where(valid & live, m_row, NEG)
@@ -156,7 +176,8 @@ def _make_local_kernel_v4(R: int, steps: int):
 
             # ring write feeds future start rows; pads/row 0 store zeros
             m_store = jnp.where(live, m_row, 0)
-            ring[i % RING] = m_store
+            if "ringw" not in strip:
+                ring[i % RING] = m_store
             prev[:, :] = m_store
 
         @pl.when(step == steps - 1)
@@ -177,7 +198,7 @@ def _make_local_kernel_v4(R: int, steps: int):
 _cache: dict = {}
 
 
-def fill_local_v4(dg, table, seq, L, Bt=None, R=8, interpret=False):
+def fill_local_v4(dg, table, seq, L, Bt=None, R=8, interpret=False, strip=frozenset(), chain='roll'):
     """Drop-in for fill_local_v2 (same outputs/layout, v4 kernel).
 
     Returns (score[B], best_i[B], best_j[B], packed[n_pad, B, Lp]) with
@@ -191,10 +212,10 @@ def fill_local_v4(dg, table, seq, L, Bt=None, R=8, interpret=False):
     n = dg.n
     steps = -(-(n - 1) // R)
     n_pad = steps * R
-    key = (n, Lp, Bt, R, B, interpret)
+    key = (n, Lp, Bt, R, B, interpret, strip, chain)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_local_kernel_v4(R, steps)
+        kernel = _make_local_kernel_v4(R, steps, strip, chain)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,

@@ -310,6 +310,176 @@ def _fill_interior(
                 y[i, j, mask] += y[i, j, a]
 
 
+def _fill_row_vec(dpm, x, y, i, pr, ap, ai, delta, midx, sub, o, e, jidx):
+    """Vectorised interior fill of one row ``i`` whose only predecessor
+    row is ``pr`` (row i-1 for non-start rows, the single pred for
+    single-pred start rows with ta == ai — both execute the identical
+    cell program, gap.rs:150-316 == 318-435 in that configuration).
+
+    ``delta``: the pred's alpha lane is not in the common set, so pred
+    row terms carry the + pred-alpha delta adjustment and mask copies
+    subtract the base lane (gap.rs:246-316).
+    """
+    L = jidx.shape[0]
+    prevD = dpm[pr]
+    prevY = y[pr]
+    xi, yi, di = x[i], y[i], dpm[i]
+
+    # U branch (pred row only; no in-row coupling)
+    if delta:
+        u_y = prevY[:, ap] + prevY[:, ai] + e
+        u_dpm = prevD[:, ap] + prevD[:, ai] + o + e
+    else:
+        u_y = prevY[:, ap] + e
+        u_dpm = prevD[:, ap] + o + e
+    usel = u_dpm >= u_y                                  # [L]
+    y_a = np.where(usel, u_dpm, u_y)
+    if delta:
+        Ym = np.where(
+            usel[:, None],
+            prevD[:, midx] - prevD[:, ai:ai + 1],
+            prevY[:, midx] - prevY[:, ai:ai + 1],
+        )
+    else:
+        Ym = np.where(usel[:, None], prevD[:, midx], prevY[:, midx])
+    yi[1:, ai] = y_a[1:]
+    if len(midx):
+        yi[1:, midx] = Ym[1:]
+
+    # alpha lane: closed-form (max,+) scan over j
+    base = prevD[:, ap] + prevD[:, ai] if delta else prevD[:, ap]
+    d_col = np.empty(L, dtype=np.int64)
+    d_col[0] = 0                                         # unused
+    d_col[1:] = base[:-1] + sub[1:]                      # D term at column j
+    const = np.maximum(d_col, y_a)                       # valid for j >= 1
+    dpm_a0 = int(di[0, ai])
+    x_a0 = int(xi[0, ai])
+    q = np.empty(L, dtype=np.int64)
+    q[0] = max(dpm_a0, x_a0 - o)
+    q[1:] = const[1:] - e * jidx[1:]
+    M = np.maximum.accumulate(q)
+    x_a = o + e * jidx + np.concatenate(([q[0]], M[:-1]))
+    x_a[0] = x_a0
+    dpm_a = np.maximum(const, x_a)
+    dpm_a[0] = dpm_a0
+    # selectors: lsel[t] / dsel for column j = t + 1
+    lsel = dpm_a[:-1] + o >= x_a[:-1]                    # [L-1]
+    dsel = np.where(dpm_a == d_col, 0, np.where(dpm_a == y_a, 1, 2))
+
+    if len(midx):
+        # dpm const sources per column (dsel 0 -> D, 1 -> Y)
+        Dm = prevD[:, midx] - prevD[:, ai:ai + 1] if delta else prevD[:, midx]
+        Dm_sh = np.empty_like(Dm)
+        Dm_sh[0] = 0
+        Dm_sh[1:] = Dm[:-1]
+        Cval = np.where((dsel == 0)[:, None], Dm_sh, Ym)
+        CvalFull = Cval
+        CvalFull[0] = di[0, midx]
+        # x_m[j] = const injected at the largest k <= j (value at k-1)
+        inject = np.zeros(L, dtype=bool)
+        if L > 1:
+            inject[1] = lsel[0]
+            if L > 2:
+                inject[2:] = lsel[1:] & (dsel[1:-1] != 2)
+        src = np.maximum.accumulate(np.where(inject, jidx, 0))
+        x_m = np.where(
+            (src == 0)[:, None],
+            xi[0, midx][None, :],
+            np.take_along_axis(CvalFull, np.maximum(src - 1, 0)[:, None], 0),
+        )
+        dpm_m = np.where(
+            (dsel == 0)[:, None], Dm_sh,
+            np.where((dsel == 1)[:, None], Ym, x_m),
+        )
+        xi[1:, midx] = x_m[1:]
+        di[1:, midx] = dpm_m[1:]
+    xi[1:, ai] = x_a[1:]
+    di[1:, ai] = dpm_a[1:]
+
+
+def fill_fast(
+    seq: str, g: PathGraph, sm: ScoreMatrix, o: int, e: int, semiglobal: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-vectorised :func:`fill` (bit-identical dpm/x/y).
+
+    Non-start rows and single-pred start rows with ta == ai (together
+    ~97% of cells on pangenome graphs) are filled with closed-form
+    NumPy vector ops (:func:`_fill_row_vec`); multi-pred / ta != ai
+    start rows keep the scalar per-cell program (their sequential
+    per-pred overwrites, the u_y alphas[i] filter quirk, and the delta
+    fixups are row-local and rare).  The in-row affine coupling has the
+    standard (max,+) closed form: with const[j] = max(d[j], u[j]),
+
+        x_a[j]   = o + e*j + max_{k<j}(q[k]),   q[k] = const[k] - e*k
+        dpm_a[j] = max(const[j], x_a[j])
+
+    (chaining through intermediate dpm cells never beats direct
+    extension for o <= 0), so the alpha lane needs one
+    ``maximum.accumulate``.  The mask-lane delta copies are pure
+    selections driven by the alpha-lane comparisons: x-lane values
+    resolve to the most recent "const injection" (a D- or Y-sourced
+    dpm value), found with a second ``maximum.accumulate`` over
+    injection indices and a gather.  All reference quirks (delta-form
+    copies, tie orders d >= u >= l and u_dpm >= u_y) are preserved
+    exactly; validated cell-identical to :func:`fill` by tests.
+    """
+    from .. import scoring
+
+    n = g.n
+    L = len(seq)
+    P = g.paths_number
+    alphas = g.alphas
+    pn = g.paths_nodes
+    dpm = np.zeros((n, L, P), dtype=np.int64)
+    x = np.zeros((n, L, P), dtype=np.int64)
+    y = np.zeros((n, L, P), dtype=np.int64)
+    if L == 0 or n == 0:
+        return dpm, x, y
+
+    codes_l = np.asarray(g.codes, dtype=np.int64)
+    codes_s = scoring.encode(seq).astype(np.int64)
+    table = np.asarray(sm.table, dtype=np.int64)
+    jidx = np.arange(L, dtype=np.int64)
+
+    # row 0: y/dpm alpha lane is the open+extend ladder; the a0+1: lanes
+    # copy column j-1 repeatedly from the zero column, i.e. stay 0
+    a0 = alphas[0]
+    if L > 1:
+        y[0, 1:, a0] = o + e * jidx[1:]
+        dpm[0, 1:, a0] = y[0, 1:, a0]
+
+    for i in range(1, n - 1):
+        if not semiglobal:
+            _fill_first_col_gap(dpm, x, g, i, o, e)
+        ai = alphas[i]
+        sub = table[codes_l[i], codes_s]                     # [L]
+        if not g.node_start[i]:
+            ap = alphas[i - 1]
+            common = pn[i] & pn[i - 1]
+            pr, delta = i - 1, not common[ap]
+        else:
+            blocks = g.preds_and_paths(i)
+            easy = False
+            if len(blocks) == 1:
+                p, p_paths = blocks[0]
+                common = pn[i] & p_paths
+                ap = alphas[p]
+                if ap < P and ((common[ap] and ap == ai)
+                               or (not common[ap] and common[ai])):
+                    # same cell program as a non-start row (ta == ai,
+                    # no fixup, no mask_q quirk), pred row = p
+                    pr, delta, easy = p, not common[ap], True
+            if not easy:
+                for j in range(1, L):
+                    _fill_interior(dpm, x, y, g, sm, i, j, seq, o, e)
+                continue
+        mask = common.copy()
+        mask[ai] = False
+        midx = np.flatnonzero(mask)
+        _fill_row_vec(dpm, x, y, i, pr, ap, ai, delta, midx, sub, o, e, jidx)
+    return dpm, x, y
+
+
 # -- tracebacks ---------------------------------------------------------------
 
 
@@ -499,7 +669,7 @@ def exec_gap_global(
     seq: str, g: PathGraph, sm: ScoreMatrix, o: int, e: int
 ) -> tuple[int, str]:
     """Mode 6: returns (best_path, cigar string); mirrors gap.rs:4-574."""
-    dpm, x, y = fill(seq, g, sm, o, e, semiglobal=False)
+    dpm, x, y = fill_fast(seq, g, sm, o, e, semiglobal=False)
     P = g.paths_number
     results = np.zeros(P, dtype=np.int64)
     last = dpm.shape[1] - 1
@@ -519,7 +689,7 @@ def exec_gap_semiglobal(
     seq: str, g: PathGraph, sm: ScoreMatrix, o: int, e: int
 ) -> tuple[int, str]:
     """Mode 7: returns (best_path, cigar+nodes string); mirrors gap_semi.rs:5-444."""
-    dpm, x, y = fill(seq, g, sm, o, e, semiglobal=True)
+    dpm, x, y = fill_fast(seq, g, sm, o, e, semiglobal=True)
     final_node, best_path = best_ending_node_gap_semi(dpm, g)
     out = build_alignment_semiglobal_gap(dpm, x, y, g, best_path, final_node)
     return best_path, out

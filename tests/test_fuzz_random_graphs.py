@@ -223,3 +223,24 @@ def test_fuzz_larger_graphs(seed):
     recs = pathwise_engine.run_batch_walks(4, reads, gp, sm)
     for i, s in enumerate(reads):
         assert pathwise.exec_global(s, gp, sm).to_string() == recs[i].to_string()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_gap_fill_fast(seed):
+    """``pathwise_gap.fill_fast`` (row-vectorised modes-6/7 fill) must be
+    cell-identical to the scalar spec ``fill`` on random covered DAGs —
+    these sweep multi-pred start rows, ta != ai blocks, and delta-form
+    rows that the example corpus under-exercises."""
+    from recgraph_tpu.oracle import pathwise_gap as pg
+
+    rng = random.Random(400 + seed)
+    gfa = random_gfa(rng, cover_all=True)
+    g = PathGraph.from_gfa(gfa)
+    sm = ScoreMatrix.match_mismatch(2, -4)
+    reads = [random_read(rng, gfa) for _ in range(2)]
+    for s in reads:
+        for sg in (False, True):
+            ref = pg.fill(s, g, sm, -4, -2, semiglobal=sg)
+            fast = pg.fill_fast(s, g, sm, -4, -2, semiglobal=sg)
+            for a, b in zip(ref, fast):
+                np.testing.assert_array_equal(a, b)

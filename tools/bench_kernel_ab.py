@@ -52,6 +52,16 @@ def main():
             dg, table, s, l, Bt=Bt, R=32),
         "xla": lambda s, l, Bt: poa_engine._fill_local(dg, table, s, l),
     }
+    # timing-only ablations (results wrong; measure where the cycles go)
+    for flag in ("sweep", "ringw", "chain", "dynsub", "pack"):
+        FILLS[f"v4-{flag}"] = (
+            lambda s, l, Bt, f=flag: pallas_poa_v4.fill_local_v4(
+                dg, table, s, l, Bt=Bt, strip=frozenset({f})))
+    FILLS["v4cummax"] = lambda s, l, Bt: pallas_poa_v4.fill_local_v4(
+        dg, table, s, l, Bt=Bt, chain="cummax")
+    FILLS["v4-all"] = lambda s, l, Bt: pallas_poa_v4.fill_local_v4(
+        dg, table, s, l, Bt=Bt,
+        strip=frozenset({"sweep", "ringw", "chain", "dynsub", "pack"}))
 
     # tiny probe first: a wedged tunnel should fail fast, not after compiles
     probe = jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
