@@ -109,13 +109,18 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
             print(f"# {extra}", file=sys.stderr)
 
     # ---- mode 1 (headline): local POA fill ----
+    # ring16 must be resolved outside the chaining jit (the table is a
+    # tracer inside); this is the same value the production dispatch
+    # computes when called eagerly
+    ring16 = poa_engine.sm_max_entry(table) * (-(-Lp // 128) * 128) < 32000
+
     def chained_local(k):
         @jax.jit
         def fn(seq, L):
             tot = jnp.int32(0)
             s = seq
             for _ in range(k):
-                out = poa_engine.fill_local_best(dg, table, s, L, g)
+                out = poa_engine.fill_local_best(dg, table, s, L, g, ring16)
                 tot = tot + jnp.sum(out[0]) + out[3].reshape(-1)[12345]
                 s = jnp.roll(seq, tot & 3, axis=0)  # data dependency
             return tot

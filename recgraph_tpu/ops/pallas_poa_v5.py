@@ -1,93 +1,88 @@
-"""Mosaic-overhead-optimised Pallas local-POA kernel (v4).
+"""Local-POA Pallas fill, v5 — the production TPU kernel.
 
-The v2 kernel is not vector-op bound: stripping all direction/packing
-vector work changed per-fill time <1% (PERF.md A/B), so the ~18 us per
-8-row grid step is Mosaic scheduling — per-row `pl.when` regions break
-software pipelining, and dynamic ring indexing adds scalar->vector
-dependencies.  v4 restructures exactly those (same recurrences, outputs
-bit-identical to poa_engine._fill_local / local_poa.rs:181-293):
+Same recurrence and outputs as v2/v4 (mode-1 fill of local_poa.rs:180-298
+re-designed as a scan over topo-ordered rows with a (max,+) prefix chain
+for the in-row L dependency), plus the three levers the v4 ablations
+isolated (the chain's cross-lane rolls are LATENCY-bound: per-step cost
+is width-independent and triples when the lane extent is not a multiple
+of the 128-lane tile):
 
-- **branchless interior**: every row is computed unconditionally; the
-  row-0 base case, the `i >= nrows` tail pad, and the best-cell update
-  are arithmetic masks (`live`), not `pl.when` regions.  The only
-  remaining per-row branch is the start-row predecessor sweep, skipped
-  at runtime for the ~90% single-pred rows;
-- **prev-row scratch**: the fast path reads the previous row from a
-  dedicated scratch plane carried across rows/steps instead of a
-  dynamically-indexed ring slot (the ring is still written every row so
-  start rows can read arbitrary predecessors);
-- **deferred best reduction**: per-row strict-> updates keep per-lane
-  (score, first-row) planes; the two cross-lane reductions + scalar
-  read-modify-writes per row collapse into one reduction at the final
-  grid step.  Row-major first-best tie order is preserved by reducing
-  the packed key bi*Lp+j among max-score lanes.
+1. **128-aligned lane extents.** A [Bt, 152] plane already occupies two
+   (8, 128) lane tiles physically, so padding reads to Lp % 128 == 0 is
+   free in memory and VREG work — but turns every Mosaic lane roll from
+   the unaligned slow path (~3.2 us) into an aligned one (~1.1 us).
+2. **Radix-4 prefix chain.** The three rolls of a radix-4 Kogge-Stone
+   super-step depend only on the previous step's value, so their
+   cross-lane latencies overlap: depth ceil(log4 Lp) instead of
+   ceil(log2 Lp) for the serial in-row dependency.
+3. **Wide batch tiles + int16 ring.** Since per-step cost is
+   width-independent, throughput scales ~linearly with the batch tile
+   Bt until VMEM runs out.  The dominant buffer is the predecessor ring
+   ([RING, Bt, Lp]); local-mode scores are >= 0 and bounded by
+   max(table) * L, so when that bound fits int16 the ring is stored
+   narrow (NEG clips to -32768, which behaves identically through the
+   max(., 0) / compare paths that consume ring rows).
+
+Reference semantics preserved: first-best predecessor sweep order
+(local_poa.rs:257-293), zero floor + tie order D >= U >= L
+(local_poa.rs:222-233), row-major first-best argmax.
 """
 
-from __future__ import annotations
+from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scoring import GAP
 from .poa_engine import NEG, O, D, LOW_D, L_DIR, U_DIR
-from .pallas_poa import RING, _prefix_max_chain
+from .pallas_poa import RING
+
+VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16M scoped limit
 
 
-def _chain_cummax(x, jcol, Lp):
-    return jax.lax.cummax(x, axis=1)
-
-
-def _chain_roll(x, jcol, Lp):
-    return _prefix_max_chain(x, jcol, Lp)
+# Measured on v5e at Lp=256/Bt=64: radix 2 -> 8 super-steps, radix 4 ->
+# 4 (12.2 ms/fill), radix 16 -> 2 but issue-bound (14.3 ms).  4 wins.
+RADIX = 4
 
 
 def _chain_radix4(x, jcol, Lp):
-    """Radix-4 Kogge-Stone prefix max: the three rolls per super-step
-    depend only on the previous step's x, so their (dominant) cross-lane
-    latencies overlap — half the serial depth of the radix-2 chain."""
+    """Inclusive prefix max over lanes, radix-RADIX Kogge-Stone."""
     k = 1
     while k < Lp:
-        cands = [x]
-        for d in (k, 2 * k, 3 * k):
+        cands = []
+        for m in range(1, RADIX):
+            d = m * k
             if d < Lp:
                 cands.append(jnp.where(jcol >= d, pltpu.roll(x, d, 1), NEG))
-        x = cands[0]
-        for c in cands[1:]:
+        for c in cands:
             x = jnp.maximum(x, c)
-        k *= 4
+        k *= RADIX
     return x
 
 
-_CHAINS = {"roll": _chain_roll, "cummax": _chain_cummax, "radix4": _chain_radix4}
+def _make_kernel(R: int, steps: int, ring16: bool):
+    rdt = jnp.int16 if ring16 else jnp.int32
 
-
-def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
-                          chain: str = "roll"):
-    """``strip`` removes named kernel features FOR TIMING ABLATIONS ONLY
-    (results become wrong): 'sweep' (start-row pred sweep), 'ringw'
-    (ring write), 'chain' (prefix-max chain), 'dynsub' (dynamic
-    sub/eq row reads), 'pack' (direction derivation + packing)."""
     def kernel(
-        pred_idx_ref,   # i32[n * Pm] (flat)
+        pred_idx_ref,   # i32[n * Pm] (flat: 2-D SMEM pads to 128 lanes)
         is_start_ref,   # i32[n]
         gnode_ref,      # i32[n]
         codes_ref,      # i32[n]
-        nrows_ref,      # i32[1]  (= n-1, live bound)
-        sub_ref,        # [7, Bt, Lp]
-        eq_ref,         # [7, Bt, Lp]
-        gseq_ref,       # [Bt, Lp]
-        G_ref,          # [Bt, Lp]
-        valid_ref,      # [Bt, Lp]
-        packed_ref,     # out [R, Bt, Lp]
+        nrows_ref,      # i32[1]
+        sub_ref,        # [7, Bt, Lp]   table[c][seq[j]]
+        eq_ref,         # [7, Bt, Lp]   seq[j] == c
+        gseq_ref,       # [Bt, Lp]      table[seq, '-']
+        G_ref,          # [Bt, Lp]      cumsum(gseq)
+        valid_ref,      # [Bt, Lp]      j < L
+        packed_ref,     # out [R, Bt, Lp] (row-major layout [n_pad, B, Lp])
         bv_ref,         # out [Bt, 1]
-        key_ref,        # out [Bt, 1]  bi * Lp + bj of the best cell
-        ring,           # scratch [RING, Bt, Lp]
-        prev,           # scratch [Bt, Lp]   previous row's m_row
-        best,           # scratch [2, Bt, Lp]  per-lane best value / first row
-        acc,            # scratch [4, Bt, Lp]  start-row sweep d/u pre+arg
+        key_ref,        # out [Bt, 1]   best_i * Lp + best_j
+        ring,           # scratch [RING, Bt, Lp] (rdt)
+        prev,           # scratch [Bt, Lp]
+        best,           # scratch [2, Bt, Lp]
+        acc,            # scratch [4, Bt, Lp]
     ):
         step = pl.program_id(1)
         Bt, Lp = gseq_ref.shape
@@ -104,6 +99,7 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
         def _():
             best[0] = jnp.zeros((Bt, Lp), jnp.int32)
             best[1] = jnp.zeros((Bt, Lp), jnp.int32)
+            prev[:, :] = jnp.zeros((Bt, Lp), jnp.int32)
 
         for r in range(R):
             i = step * R + r
@@ -111,14 +107,14 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
             live = (i > 0) & (i < nrows)
             code_i = codes_ref[ii]
             gnode_i = gnode_ref[ii]
-            subrow = sub_ref[code_i] if "dynsub" not in strip else sub_ref[0]
+            subrow = sub_ref[code_i]
             is_start = (is_start_ref[ii] != 0) & live
 
             # fast path (unconditional): single predecessor = previous row
             p_row = prev[:, :]
             fast_d = jnp.where(j0, NEG, pltpu.roll(p_row, 1, 1))
 
-            @pl.when(is_start if "sweep" not in strip else (is_start & False))
+            @pl.when(is_start)
             def _():
                 # full first-best predecessor sweep (ascending iteration
                 # keeps the first best, local_poa.rs:257-293)
@@ -131,7 +127,9 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
 
                     @pl.when(pidx >= 0)
                     def _():
-                        prow = ring[jnp.maximum(pidx, 0) % RING]
+                        prow = ring[jnp.maximum(pidx, 0) % RING].astype(
+                            jnp.int32
+                        )
                         prow = jnp.where(pidx == 0, 0, prow)  # row 0 = zeros
                         upd = prow > acc[1]
                         acc[3] = jnp.where(upd, pidx, acc[3])
@@ -158,8 +156,7 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
             # (max,+) prefix chain for the in-row L dependency
             A = jnp.maximum(jnp.maximum(d_val, u_val), 0)
             A = jnp.where(j0, 0, A)
-            x = (_CHAINS[chain](A - G, jcol, Lp)
-                 if "chain" not in strip else A - G)
+            x = _chain_radix4(A - G, jcol, Lp)
             m_row = G + x
             m_row = jnp.where(valid, m_row, NEG)
             m_row = jnp.where(j0, 0, m_row)
@@ -172,7 +169,7 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
             d_ge_u = d_val >= u_val
             dirD = d_ge_u & (d_val >= l_val)
             dirU = (~d_ge_u) & (u_val >= l_val)
-            match = (eq_ref[code_i] if "dynsub" not in strip else eq_ref[0]) != 0
+            match = eq_ref[code_i] != 0
             dcode = jnp.where(
                 dirD, jnp.where(match, D, LOW_D), jnp.where(dirU, U_DIR, L_DIR)
             )
@@ -180,10 +177,7 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
             border = all_neg | j0 | ~valid | ~live
             dcode = jnp.where(border, O, dcode)
             pred_sel = jnp.where(border, 0, pred_sel)
-            if "pack" not in strip:
-                packed_ref[r] = pred_sel * 16 + dcode
-            else:
-                packed_ref[r] = m_row
+            packed_ref[r] = pred_sel * 16 + dcode
 
             # per-lane strict-> best: first row to reach a lane's max wins
             row_masked = jnp.where(valid & live, m_row, NEG)
@@ -193,7 +187,9 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
 
             # ring write feeds future start rows; pads/row 0 store zeros
             m_store = jnp.where(live, m_row, 0)
-            if "ringw" not in strip:
+            if ring16:
+                ring[i % RING] = jnp.clip(m_store, -32768, 32767).astype(rdt)
+            else:
                 ring[i % RING] = m_store
             prev[:, :] = m_store
 
@@ -212,27 +208,57 @@ def _make_local_kernel_v4(R: int, steps: int, strip: frozenset = frozenset(),
     return kernel
 
 
+def pick_bt(B: int, Lp: int, ring16: bool, R: int = 8) -> int:
+    """Largest power-of-two batch tile whose VMEM footprint fits.
+
+    Words per (Bt x Lp) element: ring RING*(0.5|1), sub+eq 14 (x2
+    buffers), ins 3 (x2), packed out R (x2), scratch 7.
+    """
+    words = RING * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 7
+    bt = 128
+    while bt > 8 and (words * 4 * bt * Lp > VMEM_BUDGET or bt > B or B % bt):
+        bt //= 2
+    return bt
+
+
 _cache: dict = {}
 
 
-def fill_local_v4(dg, table, seq, L, Bt=None, R=8, interpret=False, strip=frozenset(), chain='roll'):
-    """Drop-in for fill_local_v2 (same outputs/layout, v4 kernel).
+def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
+                  ring16=None, align=True):
+    """Drop-in for fill_local_v2 (same outputs and packed layout).
 
-    Returns (score[B], best_i[B], best_j[B], packed[n_pad, B, Lp]) with
-    n_pad = R * ceil((n-1)/R) >= n; rows 0 and >= n-1 are zeroed.
+    Pads the lane extent to a multiple of 128 internally (physically
+    free, see module docstring); ``packed`` is returned at the padded
+    width with batch axis 1 — pad lanes hold O-direction cells that no
+    walk can enter (their scores are NEG, never the argmax).
+
+    Returns (score[B], best_i[B], best_j[B], packed[n_pad, B, Lp128]).
     """
     B, Lp = seq.shape
+    Lp128 = -(-Lp // 128) * 128 if align else Lp
+    if Lp128 != Lp:
+        from .. import scoring
+
+        seq = jnp.pad(seq, ((0, 0), (0, Lp128 - Lp)),
+                      constant_values=scoring.N)
+        Lp = Lp128
+    if ring16 is None:
+        if isinstance(table, jax.core.Tracer):
+            ring16 = False      # under an outer jit the bound is unknowable;
+        else:                   # callers there pass ring16= explicitly
+            ring16 = int(jnp.max(table)) * Lp < 32000
     if Bt is None:
-        Bt = min(B, 32)
+        Bt = pick_bt(B, Lp, ring16, R)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
     n = dg.n
     steps = -(-(n - 1) // R)
     n_pad = steps * R
-    key = (n, Lp, Bt, R, B, interpret, strip, chain)
+    key = (n, Lp, Bt, R, B, interpret, ring16)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_local_kernel_v4(R, steps, strip, chain)
+        kernel = _make_kernel(R, steps, ring16)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
@@ -260,7 +286,8 @@ def fill_local_v4(dg, table, seq, L, Bt=None, R=8, interpret=False, strip=frozen
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
-                        pltpu.VMEM((RING, Bt, Lp), jnp.int32),
+                        pltpu.VMEM((RING, Bt, Lp),
+                                   jnp.int16 if ring16 else jnp.int32),
                         pltpu.VMEM((Bt, Lp), jnp.int32),
                         pltpu.VMEM((2, Bt, Lp), jnp.int32),
                         pltpu.VMEM((4, Bt, Lp), jnp.int32),
@@ -280,7 +307,7 @@ def fill_local_v4(dg, table, seq, L, Bt=None, R=8, interpret=False, strip=frozen
     sub = tT[codes7][:, seq]
     eq = (seq[None, :, :] == codes7[:, None, None]).astype(jnp.int32)
     gseq = table[seq, GAP]
-    G = jnp.cumsum(table[seq, GAP], axis=1)
+    G = jnp.cumsum(gseq, axis=1)
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     valid = (jcol[None, :] < L[:, None]).astype(jnp.int32)
     gnode = tT[dg.codes, GAP]

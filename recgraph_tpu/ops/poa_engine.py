@@ -417,7 +417,7 @@ def fill_global_best(dg, table, seq, L, bta, g=None):
     return out + (0,)
 
 
-def fill_local_best(dg, table, seq, L, g=None):
+def fill_local_best(dg, table, seq, L, g=None, ring16=None):
     """Mode-1 fill through the fastest available backend.
 
     On TPU, uses the Pallas ring-buffer kernel when the graph's
@@ -428,21 +428,37 @@ def fill_local_best(dg, table, seq, L, g=None):
     per-read planes as free views either way).
     """
     if jax.default_backend() == "tpu" and g is not None:
-        from . import pallas_poa, pallas_poa_v2
+        from . import pallas_poa, pallas_poa_v5
 
         smem_ok = dg.n * (dg.max_preds + 5) * 4 < 700_000
         if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
-            mesh, (seq, L), Bt = _pallas_batch_plan((seq, L))
-            # v2 (R rows per grid step + single-pred fast path) is the
-            # fastest measured kernel (PERF.md); packed rows may be
-            # padded past n — callers slice [:n]
-            fill = lambda s, l: pallas_poa_v2.fill_local_v2(dg, table, s, l, Bt=Bt)
+            mesh, (seq, L), _ = _pallas_batch_plan((seq, L))
+            # v5 (128-aligned lanes + radix-4 chain + int16 ring + wide
+            # batch tiles) is the fastest measured kernel (PERF.md);
+            # packed rows may be padded past n and past the caller's Lp
+            # (pad lanes are O cells no walk enters) — callers slice [:n]
+            if ring16 is None:
+                Lp128 = -(-seq.shape[1] // 128) * 128
+                ring16 = (
+                    False if isinstance(table, jax.core.Tracer)
+                    else sm_max_entry(table) * Lp128 < 32000
+                )
+            fill = lambda s, l: pallas_poa_v5.fill_local_v5(
+                dg, table, s, l, ring16=ring16
+            )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 2, (0, 0, 0, 1))
             bv, bi, bj, packed = fill(seq, L)
             return bv[:B], bi[:B], bj[:B], packed[:, :B], 1
     return _fill_local(dg, table, seq, L) + (0,)
+
+
+def sm_max_entry(table) -> int:
+    """Max scoring-table entry, computed host-side (outside any jit)."""
+    import numpy as np
+
+    return int(np.asarray(jax.device_get(table)).max())
 
 
 CHUNK_READS = 512  # per-dispatch read chunk: bounds device memory at

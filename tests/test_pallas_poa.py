@@ -155,3 +155,33 @@ def test_v3_scores_fill_and_recompute_walk(example_paths):
             ).to_string()
             assert f"{names[b]}\t{tail}" == ref
             assert int(bv[b]) == st_o.score
+
+
+def test_pallas_local_v5_matches_xla(example_paths):
+    """v5 (128-aligned lanes + radix-4 chain + int16/int32 ring) must be
+    bit-identical to the XLA fill; pad lanes must be O cells."""
+    from recgraph_tpu.ops import pallas_poa_v5
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    reads = seqs[:8]
+    seq, L = encode_reads(reads)
+    for smname in ("none", "HOXD70"):
+        sm = ScoreMatrix.create(smname, 2, -4)
+        table = jnp.asarray(sm.table, dtype=jnp.int32)
+        ref = poa_engine._fill_local(dg, table, seq, L)
+        for ring16 in (False, True):
+            out = pallas_poa_v5.fill_local_v5(
+                dg, table, seq, L, Bt=8, interpret=True, ring16=ring16
+            )
+            np.testing.assert_array_equal(ref[0], out[0])
+            np.testing.assert_array_equal(ref[1], out[1])
+            np.testing.assert_array_equal(ref[2], out[2])
+            rp, op = np.asarray(ref[3]), np.asarray(out[3])
+            n, Lp = dg.n, rp.shape[2]
+            np.testing.assert_array_equal(
+                np.transpose(op[:n, :, :Lp], (1, 0, 2)), rp[:, :n]
+            )
+            assert (op[:, :, Lp:] % 16 == 0).all()  # pad lanes: O direction

@@ -25,7 +25,7 @@ def main():
 
     from recgraph_tpu.graph.poagraph import PoaGraph
     from recgraph_tpu.io import fasta, gfa
-    from recgraph_tpu.ops import pallas_poa, pallas_poa_v2, pallas_poa_v4, poa_engine
+    from recgraph_tpu.ops import pallas_poa, pallas_poa_v2, pallas_poa_v4, pallas_poa_v5, poa_engine
     from recgraph_tpu.ops.encode import encode_reads, poa_device_graph
     from recgraph_tpu.scoring import ScoreMatrix
 
@@ -36,7 +36,10 @@ def main():
     sm = ScoreMatrix.create("none", 2, -4)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
     reads = (seqs * ((batch // len(seqs)) + 1))[:batch]
-    seq, L = encode_reads(reads)
+    pad_to = int(os.environ.get("AB_PAD_TO", "0")) or None
+    if pad_to:
+        reads = [r[:pad_to] for r in reads]
+    seq, L = encode_reads(reads, pad_to=pad_to)
     Lp = seq.shape[1]
     cells = batch * (dg.n - 1) * Lp
     print(f"# device={jax.devices()[0].platform} batch={batch} n={dg.n} Lp={Lp}",
@@ -59,9 +62,21 @@ def main():
                 dg, table, s, l, Bt=Bt, strip=frozenset({f})))
     FILLS["v4cummax"] = lambda s, l, Bt: pallas_poa_v4.fill_local_v4(
         dg, table, s, l, Bt=Bt, chain="cummax")
+    FILLS["v4radix4"] = lambda s, l, Bt: pallas_poa_v4.fill_local_v4(
+        dg, table, s, l, Bt=Bt, chain="radix4")
+    FILLS["v5"] = lambda s, l, Bt: pallas_poa_v5.fill_local_v5(dg, table, s, l, ring16=True)
+    FILLS["v5bt32"] = lambda s, l, Bt: pallas_poa_v5.fill_local_v5(
+        dg, table, s, l, Bt=32, ring16=True)
+    FILLS["v5r16"] = lambda s, l, Bt: pallas_poa_v5.fill_local_v5(
+        dg, table, s, l, R=16, ring16=True)
+    FILLS["v5r4"] = lambda s, l, Bt: pallas_poa_v5.fill_local_v5(
+        dg, table, s, l, R=4, ring16=True)
     FILLS["v4-all"] = lambda s, l, Bt: pallas_poa_v4.fill_local_v4(
         dg, table, s, l, Bt=Bt,
         strip=frozenset({"sweep", "ringw", "chain", "dynsub", "pack"}))
+    FILLS["v4onlychain"] = lambda s, l, Bt: pallas_poa_v4.fill_local_v4(
+        dg, table, s, l, Bt=Bt,
+        strip=frozenset({"sweep", "ringw", "dynsub", "pack"}))
 
     # tiny probe first: a wedged tunnel should fail fast, not after compiles
     probe = jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
@@ -70,7 +85,7 @@ def main():
 
     for name in variants:
         fill = FILLS[name]
-        Bt = 32
+        Bt = int(os.environ.get("AB_BT", "32"))
 
         def chained(k):
             @jax.jit
