@@ -56,10 +56,14 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
     qdiag = jnp.arange(P)
 
     def step(carry, xs):
-        # carry layout [n, B, P, Lp]: the per-row dynamic_update_slice
-        # hits the leading (major) axis, which XLA updates in place —
-        # a [B, P, n, Lp] carry forced a relayout copy every row
-        # (~100x slower on TPU)
+        # carry layout: FLAT [n*P, B, Lp] with row i's planes at block
+        # [i*P:(i+1)*P].  Two reasons: the per-row dynamic_update_slice
+        # hits the leading (major) axis, which XLA updates in place (a
+        # [B, P, n, Lp] carry forced a relayout copy every row, ~100x);
+        # and the predecessor reads gather exactly the 2P [B, Lp]
+        # planes they need (~0.9 MB/row) instead of a [P, B, P, Lp]
+        # block (~10 MB/row) — the fill is HBM-gather-bound, so this
+        # is ~10x less traffic
         A = carry
         i, code_i, pvec, rvec, on = xs                     # [P] each
         gap_i = table[code_i, GAP]
@@ -67,12 +71,8 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
         p_safe = jnp.maximum(pvec, 0)
         r_safe = jnp.maximum(rvec, 0)
 
-        Arows = A[p_safe]                                  # [P, B, P, Lp]
-        Aq = jnp.moveaxis(Arows[qdiag, :, qdiag, :], 0, 1)  # [B, P, Lp]
-        Ar = jnp.take_along_axis(
-            Arows, r_safe[:, None, None, None], axis=2
-        )[:, :, 0, :]
-        Ar = jnp.moveaxis(Ar, 0, 1)                        # [B, P, Lp]
+        Aq = jnp.moveaxis(A[p_safe * P + qdiag], 0, 1)     # [B, P, Lp]
+        Ar = jnp.moveaxis(A[p_safe * P + r_safe], 0, 1)    # [B, P, Lp]
 
         # rep rows via the (max,+) chain (pathwise_alignment.rs:18-304)
         Ar_sh = jnp.roll(Ar, 1, axis=2).at[:, :, 0].set(NEG)
@@ -116,14 +116,16 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
             row = Vk + G[:, None, :] - Gk
         row = jnp.where(on[None, :, None], row, 0)
 
-        A = jax.lax.dynamic_update_slice(A, row[None], (i, 0, 0, 0))
+        A = jax.lax.dynamic_update_slice(
+            A, jnp.moveaxis(row, 0, 1), (i * P, 0, 0)
+        )
         return A, None
 
-    A0 = jnp.zeros((n, B, P, Lp), dtype=jnp.int32)
+    A0 = jnp.zeros((n * P, B, Lp), dtype=jnp.int32)
     # row 0: all paths advance together with sm(seq[j], '-') gaps
     # (pathwise_alignment.rs:46-49)
-    row0 = jnp.broadcast_to((G - G[:, :1])[:, None, :], (B, P, Lp))
-    A0 = A0.at[0].set(row0)
+    row0 = jnp.broadcast_to((G - G[:, :1])[None], (P, B, Lp))
+    A0 = A0.at[:P].set(row0)
 
     rows = jnp.arange(1, n - 1, dtype=jnp.int32)
     xs = (
@@ -134,7 +136,7 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
         dg.paths_on[1 : n - 1],
     )
     A, _ = jax.lax.scan(step, A0, xs)
-    return jnp.moveaxis(A, 0, 2)                           # -> [B, P, n, Lp]
+    return jnp.transpose(A.reshape(n, P, B, Lp), (2, 1, 0, 3))  # [B,P,n,Lp]
 
 
 @jax.jit
