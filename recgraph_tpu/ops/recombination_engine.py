@@ -187,10 +187,14 @@ def _path_argmax(A):
 
 def _split_search_fn(I):
     @jax.jit
-    def run(fmax, farg, vf, rmax, rarg, vr, penalty, diff_node, onedge,
+    def run(cols, fmax, farg, vf, rmax, rarg, vr, penalty, diff_node, onedge,
             active, init_best):
         """Sequential column scan of best_alignment (:803-860).
 
+        ``cols`` int32[C]: the (ascending) columns to evaluate — either
+        every interior column, or the pruned candidate set from
+        ``_candidate_columns`` (exactness argument there).  Padding
+        entries may repeat column 0, which is never active.
         fmax/farg/vf: int32/int32/bool [B, I, Lp] over interior rows;
         penalty f32[I, I]; active bool[B, Lp]; init_best f32[B].
         Returns (best f32[B], taken bool[B], fen, rsn, fp, rp, rec_col).
@@ -239,7 +243,7 @@ def _split_search_fn(I):
             jnp.zeros((B,), bool),
             z, z, z, z, z,
         )
-        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, Lp - 1))
+        carry, _ = jax.lax.scan(step, carry, cols)
         best, edge_state, taken, fen, rsn, fp, rp, col = carry
         return best, taken, fen, rsn, fp, rp, col
 
@@ -247,6 +251,91 @@ def _split_search_fn(I):
 
 
 _split_cache: dict[int, object] = {}
+
+
+@jax.jit
+def _column_ub(fmax, vf, rmax, vr, wf, wr):
+    """f32[B, Lp] per-column upper bound on the candidate-plane max.
+
+    SURVEY §7.4.6's 4-sign decomposition of the displacement penalty:
+    for every sign pair (s1, s2),
+      -r(|Δdfs| + |Δdfe|) <= -r·s1·Δdfs - r·s2·Δdfe,
+    so  cand[i,k] <= (fv_i - r(s1·dfs_i + s2·dfe_i))
+                   + (rv_k + r(s1·dfs_k + s2·dfe_k)) - R,
+    which is separable in i and k.  The min over the four sign cases of
+    the separated maxes is an UPPER bound on the true column max — not
+    the max itself (two coincident pairs with opposite-sign spreads
+    break exactness) — which is all pruning needs.
+
+    wf/wr: f32[4, I] = ∓r(s1·dfs + s2·dfe) per sign case (R folded in
+    by the caller).  O(n) per column instead of the O(n²) plane.
+    """
+    fv = jnp.where(vf, fmax.astype(jnp.float32), NEGF)     # [B, I, Lp]
+    rv = jnp.where(vr, rmax.astype(jnp.float32), NEGF)
+    ub = None
+    for s in range(4):
+        a = jnp.max(fv + wf[s][None, :, None], axis=1)     # [B, Lp]
+        b = jnp.max(rv + wr[s][None, :, None], axis=1)
+        t = a + b
+        ub = t if ub is None else jnp.minimum(ub, t)
+    return ub
+
+
+def _candidate_columns(split_inputs, dfs_i, dfe_i, base_rec_cost,
+                       multi_rec_cost, active_np, init_best, Lp):
+    """Ascending column set that can still affect the split search.
+
+    Exactness: the scan's running best starts at the per-read baseline
+    and never decreases, and a column is taken only when its max is
+    > best or == best.  A column whose upper bound (``_column_ub``)
+    is strictly below every read's baseline therefore can never be
+    taken for any read; dropping it leaves the scan's carry — and so
+    every tie decision — unchanged.  0.5 of slack absorbs f32
+    round-off between the bound and the plane expressions (scores are
+    integers and penalties multiples of r).
+
+    Returns int32[C] columns, padded with 0 (never active) to the next
+    power of two to bound jit retraces, or None to use the full range.
+    """
+    cols_full = np.arange(1, Lp - 1, dtype=np.int32)
+    if Lp - 2 <= 8:
+        return None
+    fmax, farg, vf, rmax, rarg, vr = split_inputs
+    r = np.float32(multi_rec_cost)
+    signs = np.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], np.float32)
+    d = np.stack([dfs_i, dfe_i]).astype(np.float32)        # [2, I]
+    wf = jnp.asarray(-(r * signs @ d))                     # [4, I]
+    wr = jnp.asarray(r * signs @ d)
+    ub = np.asarray(jax.device_get(_column_ub(fmax, vf, rmax, vr, wf, wr)))
+    ub = ub - np.float32(base_rec_cost)
+    keep = (ub + 0.5 >= init_best[:, None]) & active_np    # [B, Lp]
+    cols = np.flatnonzero(keep.any(axis=0)).astype(np.int32)
+    if len(cols) * 2 >= len(cols_full):
+        return None                                        # no win: full scan
+    C = 1 << max(int(np.ceil(np.log2(max(len(cols), 1)))), 2)
+    out = np.zeros(C, dtype=np.int32)
+    out[: len(cols)] = cols
+    return out
+
+
+def _run_split(split, inputs, penalty, diff_node, onedge, active_np,
+               init_best, dfs, dfe, base_rec_cost, multi_rec_cost, n, Lp):
+    """Candidate-pruned split search; returns numpy outputs."""
+    cols = _candidate_columns(
+        inputs, dfs[1 : n - 1], dfe[1 : n - 1], base_rec_cost,
+        multi_rec_cost, active_np, init_best, Lp,
+    )
+    if cols is None:
+        cols = np.arange(1, Lp - 1, dtype=np.int32)
+    fmax, farg, vf, rmax, rarg, vr = inputs
+    return tuple(
+        np.asarray(jax.device_get(x))
+        for x in split(
+            jnp.asarray(cols), fmax, farg, vf, rmax, rarg, vr,
+            penalty, diff_node, onedge, jnp.asarray(active_np),
+            jnp.asarray(init_best),
+        )
+    )
 
 
 def _baseline(mode, finalcol_b, g):
@@ -315,6 +404,8 @@ def run_batch(
     # displacement penalty plane (pathwise_graph.rs:284-305) and the
     # onedge/diff-node candidate masks (:837,:845-852)
     dms = nodes_displacement_matrix(g, rg)
+    dfe = g.distance_from_end()
+    dfs = rg.distance_from_start_on_reverse()
     ids = g.nodes_id_pos
     interior = np.arange(1, n - 1)
     penalty = (
@@ -365,17 +456,17 @@ def run_batch(
         jcol = np.arange(seq.shape[1])
         Lnp = np.asarray(jax.device_get(L))
         oob = np.maximum((Lnp * (1.0 - rbw) / 2.0).astype(np.int64), 1)
-        active = jnp.asarray(
+        active_np = (
             (jcol[None, :] >= oob[:, None]) & (jcol[None, :] < (Lnp - oob)[:, None])
         )
-        best, taken, fen, rsn, fp, rp, rec_col = (
-            np.asarray(jax.device_get(x))
-            for x in split(
+        best, taken, fen, rsn, fp, rp, rec_col = _run_split(
+            split,
+            (
                 fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
                 rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
-                penalty, diff_node, onedge, active,
-                jnp.asarray(init_best),
-            )
+            ),
+            penalty, diff_node, onedge, active_np, init_best,
+            dfs, dfe, base_rec_cost, multi_rec_cost, n, seq.shape[1],
         )
 
         fp_final = np.where(taken, fp, base_paths)
@@ -583,6 +674,8 @@ def run_batch_walks(
     ids = g.nodes_id_pos
 
     dms = nodes_displacement_matrix(g, rg)
+    dfe = g.distance_from_end()
+    dfs = rg.distance_from_start_on_reverse()
     interior = np.arange(1, n - 1)
     penalty = (
         np.float32(base_rec_cost)
@@ -637,17 +730,17 @@ def run_batch_walks(
         jcol = np.arange(seq.shape[1])
         Lnp = np.asarray(jax.device_get(L))
         oob = np.maximum((Lnp * (1.0 - rbw) / 2.0).astype(np.int64), 1)
-        active = jnp.asarray(
+        active_np = (
             (jcol[None, :] >= oob[:, None]) & (jcol[None, :] < (Lnp - oob)[:, None])
         )
-        best, taken, fen, rsn, fp, rp, rec_col = (
-            np.asarray(jax.device_get(x))
-            for x in split(
+        best, taken, fen, rsn, fp, rp, rec_col = _run_split(
+            split,
+            (
                 fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
                 rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
-                penalty, diff_node, onedge, active,
-                jnp.asarray(init_best),
-            )
+            ),
+            penalty, diff_node, onedge, active_np, init_best,
+            dfs, dfe, base_rec_cost, multi_rec_cost, n, seq.shape[1],
         )
         fp_final = np.where(taken, fp, base_paths)
         rp_final = np.where(taken, rp, base_paths)

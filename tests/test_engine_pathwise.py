@@ -111,3 +111,33 @@ def test_recombination_device_walk(corpus, mode):
         for i, s in enumerate(seqs):
             r_o = ro.exec_mode(mode, s, g, rg, sm, brc, mrc, dms, rbw)
             assert r_o.to_string() == recs[i].to_string()
+
+
+def test_split_search_pruning_exact(corpus, monkeypatch):
+    """Candidate-column pruning must engage AND leave the GAF unchanged.
+
+    The bound argument (recombination_engine._candidate_columns) says a
+    column whose 4-sign upper bound is below every read's baseline can
+    never be taken; here we check it empirically: force the full scan,
+    then the pruned scan, and byte-compare.
+    """
+    seqs, names, g, sm = corpus
+    rg = g.reverse()
+    engaged = {}
+    orig = recombination_engine._candidate_columns
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        engaged["cols"] = out
+        return out
+
+    monkeypatch.setattr(recombination_engine, "_candidate_columns", spy)
+    pruned = recombination_engine.run_batch_walks(
+        8, seqs, g, rg, sm, 4, 0.1, 0.3
+    )
+    assert engaged["cols"] is not None, "pruning never engaged"
+    monkeypatch.setattr(
+        recombination_engine, "_candidate_columns", lambda *a, **k: None
+    )
+    full = recombination_engine.run_batch_walks(8, seqs, g, rg, sm, 4, 0.1, 0.3)
+    assert [r.to_string() for r in pruned] == [r.to_string() for r in full]
