@@ -23,6 +23,8 @@ recgraph_tpu.parallel).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,23 +59,33 @@ class _PackedRow:
 
 
 class _PackedPath:
-    """Band-relative (pred, dir) view over a packed int32[n, Lp] plane."""
+    """Band-relative (pred, dir) view over a packed int32[n, Lp] plane.
 
-    __slots__ = ("packed", "lefts")
+    ``ws`` (optional, int32[n]): per-row window starts for windowed
+    planes — row i's lane k holds absolute column ws[i] + k, so the
+    band-relative offset becomes lefts[i] - ws[i].
+    """
 
-    def __init__(self, packed, lefts):
+    __slots__ = ("packed", "lefts", "ws")
+
+    def __init__(self, packed, lefts, ws=None):
         self.packed = packed
         self.lefts = lefts
+        self.ws = ws
 
     def __getitem__(self, i):
-        return _PackedRow(self.packed[i], int(self.lefts[i]))
+        off = int(self.lefts[i])
+        if self.ws is not None:
+            off -= int(self.ws[i])
+        return _PackedRow(self.packed[i], off)
 
 
 def _state_from_device(
-    score, last_row, last_col_abs, packed, lefts, rights, seq_len, band_check=None
+    score, last_row, last_col_abs, packed, lefts, rights, seq_len,
+    band_check=None, ws=None
 ) -> PoaState:
     ampl = np.stack([lefts, rights], axis=1)
-    path = _PackedPath(packed, lefts)
+    path = _PackedPath(packed, lefts, ws)
     st = PoaState(
         score=int(score),
         m=None,
@@ -240,6 +252,217 @@ def _fill_global(dg: "PoaDeviceGraph", table, seq, L, bta):
     score = jnp.take_along_axis(vals, bidx[:, None], 1)[:, 0]
     last_col_abs = jnp.take_along_axis(cand_right, bidx[:, None], 1)[:, 0] - 1
     return score, last_row, last_col_abs, packed, lefts, rights
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _fill_global_windowed(dg: "PoaDeviceGraph", table, seq, L, bta, W):
+    """Banded global fill with O(W)-lane windowed rows (long reads).
+
+    Same recurrence as ``_fill_global`` (global_abpoa.rs:260-427) but
+    each row stores only the W columns [ws_i, ws_i+W) around its band,
+    so memory and per-row work are O(W) instead of O(L) — the device
+    analogue of the reference's O(band) rows (utils.rs:17-72).
+    ws_i is the band left rounded down to a lane multiple; predecessor
+    windows are realigned with a lane gather.  Rows whose band outgrows
+    the window set the per-read ``over`` flag; callers must rerun those
+    reads through the exact full-width engine.
+
+    Returns (score[B], last_row[B], last_col_abs[B],
+             packed int32[B, n, W], lefts, rights, ws int32[B, n],
+             over bool[B]).
+    """
+    n, Pm = dg.n, dg.max_preds
+    B, Lp = seq.shape
+    Q = 8
+    kcol = jnp.arange(W, dtype=jnp.int32)
+
+    def step(carry, xs):
+        m, wss, lefts, rights, bsp, over = carry
+        i, code_i, pidx, pmask, minp, r_i = xs
+        pidx_safe = jnp.maximum(pidx, 0)
+        gnode_i = table[code_i, GAP]
+
+        # --- adaptive band (same math as _fill_global) ---
+        pred_bsp = bsp[:, pidx_safe]
+        ms = jnp.min(jnp.where(pmask, pred_bsp, 1 << 28), axis=1) + 1
+        me = jnp.max(jnp.where(pmask, pred_bsp, NEG), axis=1) + 1
+        ms = jnp.where(i == 0, 0, ms)
+        me = jnp.where(i == 0, 0, me)
+        left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
+        right = jnp.where(
+            L > r_i,
+            jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
+            jnp.minimum(L, me + bta),
+        )
+        ws_i = (left // Q) * Q                              # [B]
+        over = over | (right - ws_i > W)
+        jabs = ws_i[:, None] + kcol[None, :]                # [B, W]
+        in_band = (left[:, None] <= jabs) & (jabs < right[:, None])
+        seq_w = jnp.take_along_axis(seq, jnp.minimum(jabs, Lp - 1), axis=1)
+        gseq_w = table[seq_w, GAP]
+        subrow_i = table[code_i][seq_w]
+
+        # --- gather predecessor windows, realigned to jabs ---
+        mp = m[:, pidx_safe, :]                             # [B, Pm, W]
+        ws_p = wss[:, pidx_safe]                            # [B, Pm]
+        shift = (ws_i[:, None] - ws_p)[:, :, None]          # [B, Pm, 1]
+        idx = shift + kcol                                  # [B, Pm, W]
+        ok = (idx >= 0) & (idx < W)
+        mp_al = jnp.where(
+            ok, jnp.take_along_axis(mp, jnp.clip(idx, 0, W - 1), axis=2), NEG
+        )
+        okm1 = (idx >= 1) & (idx <= W)
+        mp_m1 = jnp.where(
+            okm1, jnp.take_along_axis(mp, jnp.clip(idx - 1, 0, W - 1), axis=2),
+            NEG,
+        )
+        leftp = lefts[:, pidx_safe]
+        rightp = rights[:, pidx_safe]
+
+        # U candidates: preds whose band covers jabs
+        u_cov = pmask[None, :, None] & (leftp[..., None] <= jabs[:, None]) & (
+            jabs[:, None] < rightp[..., None]
+        )
+        u_vals = jnp.where(u_cov, mp_al, NEG)
+        u_best = u_vals.max(axis=1)
+        u_pred = pidx_safe[u_vals.argmax(axis=1)]
+        has_u = u_best > NEG // 2
+        u_val = jnp.where(has_u, u_best + gnode_i, gnode_i * (i + jabs))
+        u_pred = jnp.where(has_u, u_pred, minp)
+
+        # D candidates: preds whose band covers jabs-1
+        d_cov = pmask[None, :, None] & (leftp[..., None] < jabs[:, None]) & (
+            jabs[:, None] <= rightp[..., None]
+        )
+        d_vals = jnp.where(d_cov, mp_m1, NEG)
+        d_best = d_vals.max(axis=1)
+        d_pred = pidx_safe[d_vals.argmax(axis=1)]
+        has_d = d_best > NEG // 2
+        d_fb = (gnode_i * (i + left))[:, None]
+        d_val = jnp.where(has_d, d_best + subrow_i, d_fb)
+        d_pred = jnp.where(has_d, d_pred, minp)
+
+        # --- chain restart values and the (max,+) prefix scan ---
+        A = jnp.maximum(d_val, u_val)
+        seq_left = jnp.take_along_axis(seq, left[:, None], axis=1)[:, 0]
+        gseq_left = table[seq_left, GAP]
+        l_fb = gseq_left * (i + left)
+        m_minp = m[:, minp, :]
+        rel_minp = jnp.clip(lefts[:, minp] - wss[:, minp], 0, W - 1)
+        base0 = (
+            jnp.take_along_axis(m_minp, rel_minp[:, None], axis=1)[:, 0] + gnode_i
+        )
+        is_left = jabs == left[:, None]
+        left_rel = jnp.clip(left - ws_i, 0, W - 1)
+        A_left = jnp.where(
+            left == 0,
+            base0,
+            jnp.maximum(jnp.take_along_axis(A, left_rel[:, None], 1)[:, 0], l_fb),
+        )
+        A_left = jnp.where(i == 0, 0, A_left)
+        A = jnp.where(is_left, A_left[:, None], A)
+        A = jnp.where(i == 0, jnp.where(jabs == 0, 0, NEG), A)
+        A = jnp.where(in_band, A, NEG)
+
+        grow = jnp.where(i == 0, table[GAP, seq_w], gseq_w)
+        G = jnp.cumsum(grow, axis=1)
+        m_row = G + jax.lax.cummax(A - G, axis=1)
+        m_row = jnp.where(in_band, m_row, NEG)
+
+        # rightmost in-band argmax => best_scoring_pos
+        bsp_i = ws_i + W - 1 - jnp.argmax(
+            jnp.where(in_band, m_row, NEG)[:, ::-1], axis=1
+        ).astype(jnp.int32)
+
+        # directions (utils.rs:129-140 tie order D >= U >= L)
+        m_prev = jnp.roll(m_row, 1, axis=1).at[:, 0].set(NEG)
+        l_val = m_prev + gseq_w
+        l_val = jnp.where(
+            is_left, jnp.where((left == 0)[:, None], NEG, l_fb[:, None]), l_val
+        )
+        l_pred = jnp.where(jabs > left[:, None], i, minp)
+        d_ge_u = d_val >= u_val
+        dirD = d_ge_u & (d_val >= l_val)
+        dirU = (~d_ge_u) & (u_val >= l_val)
+        match = seq_w == code_i
+        dcode = jnp.where(
+            dirD, jnp.where(match, D, LOW_D), jnp.where(dirU, U_DIR, L_DIR)
+        )
+        pred_sel = jnp.where(dirD, d_pred, jnp.where(dirU, u_pred, l_pred))
+        is_base = is_left & (left == 0)[:, None] & (i > 0)
+        dcode = jnp.where(is_base, U_DIR, dcode)
+        pred_sel = jnp.where(is_base, minp, pred_sel)
+        dcode = jnp.where(i == 0, jnp.where(jabs == 0, O, L_DIR), dcode)
+        pred_sel = jnp.where(i == 0, 0, pred_sel)
+        packed = jnp.where(in_band, pred_sel * 16 + dcode, 0)
+
+        m = jax.lax.dynamic_update_slice(m, m_row[:, None, :], (0, i, 0))
+        wss = jax.lax.dynamic_update_slice(wss, ws_i[:, None], (0, i))
+        lefts = jax.lax.dynamic_update_slice(lefts, left[:, None], (0, i))
+        rights = jax.lax.dynamic_update_slice(rights, right[:, None], (0, i))
+        bsp = jax.lax.dynamic_update_slice(bsp, bsp_i[:, None], (0, i))
+        return (m, wss, lefts, rights, bsp, over), packed
+
+    m0 = jnp.zeros((B, n, W), dtype=jnp.int32)
+    z = jnp.zeros((B, n), dtype=jnp.int32)
+    over0 = jnp.zeros((B,), bool)
+    rows = jnp.arange(n - 1, dtype=jnp.int32)
+    xs = (
+        rows,
+        dg.codes[:-1],
+        dg.pred_idx[:-1],
+        dg.pred_mask[:-1],
+        dg.min_pred[:-1],
+        dg.r_values[:-1],
+    )
+    (m, wss, lefts, rights, _, over), packed = jax.lax.scan(
+        step, (m0, z, z, z, z, over0), xs
+    )
+    packed = jnp.concatenate(
+        [jnp.moveaxis(packed, 0, 1), jnp.zeros((B, 1, W), jnp.int32)], axis=1
+    )
+
+    # final cell: best over F's preds, first strict max (":397-405")
+    cand = jnp.asarray((n - 2,) + dg.sink_rows, dtype=jnp.int32)
+    cand_right = rights[:, cand]
+    cand_rel = jnp.clip(cand_right - 1 - wss[:, cand], 0, W - 1)
+    mcand = m[:, cand, :]
+    vals = jnp.take_along_axis(mcand, cand_rel[..., None], axis=2)[..., 0]
+    bidx = jnp.argmax(vals, axis=1)
+    last_row = cand[bidx]
+    score = jnp.take_along_axis(vals, bidx[:, None], 1)[:, 0]
+    last_col_abs = jnp.take_along_axis(cand_right, bidx[:, None], 1)[:, 0] - 1
+    return score, last_row, last_col_abs, packed, lefts, rights, wss, over
+
+
+LONG_READ_LP = 1024     # mode-0 reads at least this long use windowed rows
+_long_w_hint: dict[int, int] = {}
+
+
+def fill_global_long(dg, table, seq, L, bta, bta_max):
+    """Mode-0 fill for long reads: windowed rows with a W ladder.
+
+    Starts at the smallest W covering 2·bta plus drift slack (or the
+    last W that worked for this graph) and doubles until no read's
+    band overflows its window; at W >= Lp falls back to the exact
+    full-width fill.  Returns (score, last_row, last_col_abs,
+    packed[B, n, W], lefts, rights, ws | None); ws None means the
+    full-width plane.
+    """
+    Lp = seq.shape[1]
+    W = _long_w_hint.get(dg.n, 0)
+    if W == 0:
+        W = 256
+        while W < 2 * bta_max + 64:
+            W *= 2
+    while W < Lp:
+        out = _fill_global_windowed(dg, table, seq, L, bta, W=W)
+        if not bool(jax.device_get(out[7].any())):
+            _long_w_hint[dg.n] = W
+            return out[:7]
+        W *= 2
+    _long_w_hint[dg.n] = Lp
+    return _fill_global(dg, table, seq, L, bta) + (None,)
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +706,21 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     B = len(sequences)
     if mode == 0:
         bta = encode_read_aux(btas)
+        if seq.shape[1] >= LONG_READ_LP:
+            score, last_row, last_col, packed, lefts, rights, ws = (
+                fill_global_long(dg, table, seq, L, bta, max(btas))
+            )
+            score, last_row, last_col, packed, lefts, rights, ws = jax.device_get(
+                (score, last_row, last_col, packed, lefts, rights, ws)
+            )
+            return [
+                _state_from_device(
+                    score[b], last_row[b], last_col[b], packed[b], lefts[b],
+                    rights[b], len(sequences[b]), band_check="linear",
+                    ws=None if ws is None else ws[b],
+                )
+                for b in range(B)
+            ]
         score, last_row, last_col, packed, lefts, rights, baxis = fill_global_best(
             dg, table, seq, L, bta, g
         )
@@ -598,15 +836,21 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
     W = traceback_engine.max_walk_steps(dg.n, Lp)
     gap = mode in (2, 3)
     banded = mode in (0, 2)
+    ws = None
     if mode == 0:
         bta = encode_read_aux(btas)
-        score, last_row, last_col, packed, lefts, rights, baxis = fill_global_best(
-            dg, table, seq, L, bta, g
-        )
-        if baxis == 1:
-            lefts = jnp.moveaxis(packed[:, :, Lp], 0, 1)
-            rights = jnp.moveaxis(packed[:, :, Lp + 1], 0, 1)
-            packed = jnp.moveaxis(packed[:, :, :Lp], 0, 1)
+        if Lp >= LONG_READ_LP:
+            score, last_row, last_col, packed, lefts, rights, ws = (
+                fill_global_long(dg, table, seq, L, bta, max(btas))
+            )
+        else:
+            score, last_row, last_col, packed, lefts, rights, baxis = (
+                fill_global_best(dg, table, seq, L, bta, g)
+            )
+            if baxis == 1:
+                lefts = jnp.moveaxis(packed[:, :, Lp], 0, 1)
+                rights = jnp.moveaxis(packed[:, :, Lp + 1], 0, 1)
+                packed = jnp.moveaxis(packed[:, :, :Lp], 0, 1)
         px = py = packed
     elif mode == 1:
         score, last_row, last_col, packed, baxis = fill_local_best(
@@ -634,7 +878,7 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
         lefts = rights = None
 
     dirs, rows, steps, stop_row, stop_col = traceback_engine.walk_poa(
-        packed, px, py, last_row, last_col, gap=gap, max_steps=W
+        packed, px, py, last_row, last_col, gap=gap, max_steps=W, ws=ws
     )
     kmax_dev = steps.max()
     dev = dict(

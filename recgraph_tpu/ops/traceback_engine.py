@@ -35,8 +35,15 @@ CHAIN_FLAG = 16
 
 
 @functools.partial(jax.jit, static_argnames=("gap", "max_steps"))
-def walk_poa(packed, packed_x, packed_y, last_row, last_col_abs, gap, max_steps):
-    """packed*: int32[B, n, Lp] planes; last_*: int32[B]."""
+def walk_poa(packed, packed_x, packed_y, last_row, last_col_abs, gap,
+             max_steps, ws=None):
+    """packed*: int32[B, n, Lp] planes; last_*: int32[B].
+
+    ``ws`` int32[B, n] (optional): per-row window starts for windowed
+    planes (poa_engine._fill_global_windowed) — cells are stored at
+    lane (col - ws[row]); reads outside the window return 0 (= O),
+    matching the full-width plane's out-of-band zeros.
+    """
     B, n, Lp = packed.shape
     pf = packed.reshape(B, n * Lp)
     pxf = packed_x.reshape(B, n * Lp) if gap else pf
@@ -44,6 +51,12 @@ def walk_poa(packed, packed_x, packed_y, last_row, last_col_abs, gap, max_steps)
     bidx = jnp.arange(B)
 
     def cell(flat, row, col):
+        if ws is not None:
+            rel = col - jnp.take_along_axis(ws, row[:, None], axis=1)[:, 0]
+            v = jnp.take_along_axis(
+                flat, (row * Lp + jnp.clip(rel, 0, Lp - 1))[:, None], axis=1
+            )[:, 0]
+            return jnp.where((rel >= 0) & (rel < Lp), v, 0)
         idx = row * Lp + col
         return jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
 
