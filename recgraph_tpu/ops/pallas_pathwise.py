@@ -1,0 +1,363 @@
+"""Pathwise (modes 4/5) Pallas fill — fused row scan over path planes.
+
+The XLA scan engine (`pathwise_engine._fill_pathwise`) is per-step
+dispatch-bound on TPU: each of the n sequential rows issues ~30 small
+ops on [B, P, Lp] tensors (~0.44 ms/row at B=32, ~20x the data's
+bandwidth cost).  This kernel fuses the whole row into one Pallas grid
+step, with the path axis folded into sublanes:
+
+- layout [Bt, P_pad, Lp]: paths on sublanes (P padded to 8), read
+  columns on 128-aligned lanes; both per-row (max,+) chains (the rep
+  solve and the non-rep packed replay, pathwise_alignment.rs:18-304)
+  are radix-4 Kogge-Stone lane prefixes (pallas_poa_v5.py);
+- the per-path predecessor/representative gathers of the XLA engine
+  become a loop over the row's predecessor-edge GROUPS (paths sharing
+  a pred edge share pred row and rep, graph.pathgraph.pathwise_meta):
+  per group one predecessor-row read, a membership-mask select (Aq),
+  and a masked sublane max-reduction extracting the rep plane (Ar) —
+  no dynamic gathers at all.  Chain rows have one group; node starts
+  have one per incoming edge;
+- predecessor rows come from a VMEM ring when the span is short (the
+  chain-row common case) and are DMA'd back from the HBM result buffer
+  otherwise — pathwise graphs have unbounded pred spans (haplotype
+  paths skip nodes), so unlike the POA kernels the full matrix IS the
+  spill store: the output lives in ANY memory and each finished row is
+  DMA'd out as it is produced;
+- scores-only output [n_pad, B, P_pad, Lp]: the pathwise walkers
+  (device `_walk_pathwise` and the oracle) recompute directions from
+  score planes, so no packed-direction plane is materialised.
+
+Exactness: bit-identical to `_fill_pathwise(..., encode_chain=True)`,
+including the packed (column << 17 | value) replay chain — the kernel
+is only eligible when that encoding fits (2*Lp*max|score| < 2^16),
+same gate as the XLA engine; row 0 lives in a dedicated scratch so
+pred-row-0 reads never alias the ring.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scoring import GAP
+
+# unlike the 2-D local-POA kernel (latency-bound rolls, radix 4 —
+# pallas_poa_v5.py), this kernel's [Bt, P_pad, Lp] operands are >100
+# vregs, so the chains are THROUGHPUT-bound: radix 2 moves the least
+# data (log2(Lp) rolls+maxes vs 1.5x that for radix 4)
+RADIX = 2
+
+NEG = -(1 << 28)
+RING = 8                       # VMEM ring depth (near predecessors)
+VMEM_BUDGET = 14 * 1024 * 1024
+OFF = 1 << 16
+ENC_MASK = (1 << 17) - 1
+
+
+def _chain_radix4(x, jcol, Lp):
+    """Inclusive lane prefix max (radix-RADIX Kogge-Stone), 3-D operand."""
+    k = 1
+    while k < Lp:
+        cands = []
+        for m in range(1, RADIX):
+            d = m * k
+            if d < Lp:
+                cands.append(jnp.where(jcol >= d, pltpu.roll(x, d, 2), NEG))
+        for c in cands:
+            x = jnp.maximum(x, c)
+        k *= RADIX
+    return x
+
+
+def _make_kernel(R: int, steps: int, Gd: int, Bt: int, semiglobal: bool):
+    def kernel(
+        grep_ref,       # i32[n_pad * Gd]      group rep path (-1 pad)
+        gpred_ref,      # i32[n_pad * Gd]      group pred row (0 pad)
+        codes_ref,      # i32[n_pad]
+        gnode_ref,      # i32[n_pad]           table[code, '-']
+        nrows_ref,      # i32[1]               n - 1
+        rep_ref,        # i32[R, P_pad]        rep_of rows (block)
+        on_ref,         # i32[R, P_pad]        paths_on rows (block)
+        sub_ref,        # i32[7, Bt, Lp]       table[c][seq[j]]
+        gseq_ref,       # i32[Bt, Lp]
+        G_ref,          # i32[Bt, Lp]
+        out_any,        # out [n_pad, B, P_pad, Lp] (ANY: HBM result)
+        ring,           # scratch [RING, Bt, P_pad, Lp] i32
+        farbuf,         # scratch [2, Bt, P_pad, Lp] i32 (hot/cold slots)
+        aq_scr,         # scratch [Bt, P_pad, Lp] i32 (multi-group staging)
+        ar_scr,         # scratch [Bt, P_pad, Lp] i32
+        row0,           # scratch [Bt, Lp] i32
+        rsem,           # DMA sems (2,)
+        wsem,           # DMA sem  ()
+    ):
+        step = pl.program_id(1)
+        bo = pl.program_id(0) * Bt
+        Lp = gseq_ref.shape[1]
+        P_pad = rep_ref.shape[1]
+        jcol3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P_pad, Lp), 2)
+        qiota = jax.lax.broadcasted_iota(jnp.int32, (Bt, P_pad, Lp), 1)
+        j0 = jcol3 == 0
+        G = G_ref[:, :]
+        G3 = G[:, None, :]
+        nrows = nrows_ref[0]
+
+        @pl.when(step == 0)
+        def _():
+            # row 0: every path carries the G - G[0] gap chain
+            # (pathwise_alignment.rs:46-49)
+            row0[:, :] = G - jnp.broadcast_to(G[:, 0:1], (Bt, Lp))
+
+        r0b = row0[:, :][:, None, :]                 # [Bt, 1, Lp]
+        for r in range(R):
+            i = step * R + r
+            live = (i >= 1) & (i < nrows)
+            code_i = codes_ref[i]
+            gap_i = gnode_ref[i]
+            sub3 = sub_ref[code_i][:, None, :]           # [Bt, 1, Lp]
+            rep_row_meta = rep_ref[r][None, :, None]     # [1, P_pad, 1]
+
+            # predecessor rows: VMEM ring when the span is short (the
+            # common case), DMA'd back from the HBM result otherwise.
+            # 97%+ of rows have ONE predecessor-edge group, so slot 0
+            # runs unconditionally without membership masks (off-path
+            # planes are zeroed at the end regardless); the rare
+            # multi-group rows take a pl.when'd loop staged through
+            # the aq/ar scratch.
+            def fetch(slot, pred_g):
+                far = (pred_g > 0) & (i - pred_g >= RING)
+
+                @pl.when(far)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        out_any.at[pred_g, pl.ds(bo, Bt)],
+                        farbuf.at[slot], rsem.at[slot],
+                    )
+                    cp.start()
+                    cp.wait()
+
+                rr = jnp.where(far, farbuf[slot], ring[pred_g % RING])
+                return jnp.where(pred_g == 0, r0b, rr)
+
+            def repplane(rr, rep_g):
+                return jnp.max(
+                    jnp.where(qiota == rep_g, rr, NEG), axis=1, keepdims=True
+                )
+
+            pred_0 = gpred_ref[i * Gd]
+            rep_0 = grep_ref[i * Gd]
+            rr0 = fetch(0, pred_0)
+            Aq = rr0
+            Ar = jnp.broadcast_to(repplane(rr0, rep_0), (Bt, P_pad, Lp))
+            if Gd > 1:
+                multi = grep_ref[i * Gd + 1] >= 0
+
+                @pl.when(multi)
+                def _():
+                    aq_scr[:] = Aq
+                    ar_scr[:] = Ar
+                    for g in range(1, Gd):
+                        pred_g = gpred_ref[i * Gd + g]
+                        rep_g = grep_ref[i * Gd + g]
+                        rr = fetch(1, pred_g)
+                        memb = rep_row_meta == rep_g     # [1, P_pad, 1]
+                        aq_scr[:] = jnp.where(memb, rr, aq_scr[:])
+                        ar_scr[:] = jnp.where(
+                            memb, repplane(rr, rep_g), ar_scr[:]
+                        )
+
+                Aq = jnp.where(multi, aq_scr[:], Aq)
+                Ar = jnp.where(multi, ar_scr[:], Ar)
+
+            # rep solve: (max,+) chain over the rep values
+            Ar_sh = jnp.where(j0, NEG, pltpu.roll(Ar, 1, 2))
+            d_r = Ar_sh + sub3
+            u_r = Ar + gap_i
+            Achain = jnp.maximum(d_r, u_r)
+            first_r = 0 if semiglobal else Ar + gap_i
+            Achain = jnp.where(j0, first_r, Achain)
+            rep_row = G3 + _chain_radix4(Achain - G3, jcol3, Lp)
+
+            dirD = rep_row == d_r
+            dirU = ~dirD & (rep_row == u_r)
+            nonL = dirD | dirU | j0
+
+            # non-rep replay: packed (column << 17 | value) lane chain
+            Aq_sh = jnp.where(j0, NEG, pltpu.roll(Aq, 1, 2))
+            vD = Aq_sh + sub3
+            vU = Aq + gap_i
+            V = jnp.where(dirD, vD, vU)
+            first_q = 0 if semiglobal else Aq + gap_i
+            V = jnp.where(j0, first_q, V)
+            enc = jnp.where(nonL, (jcol3 << 17) | (V - G3 + OFF), -1)
+            enc = _chain_radix4(enc, jcol3, Lp)
+            row = G3 + (enc & ENC_MASK) - OFF
+
+            on3 = on_ref[r][None, :, None] != 0   # reshape i32, then compare
+                                                  # (Mosaic: no 1-bit minor-dim insert)
+            row = jnp.where(on3 & live, row, 0)
+            row = jnp.where(i == 0, r0b, row)
+
+            ring[i % RING] = row
+            wcp = pltpu.make_async_copy(
+                ring.at[i % RING], out_any.at[i, pl.ds(bo, Bt)], wsem
+            )
+            wcp.start()
+            wcp.wait()
+
+    return kernel
+
+
+_meta_cache: dict[int, tuple] = {}
+
+
+def _group_meta(dg, R: int):
+    """(grep, gpred, Gd, steps, n_pad) per row, padded to R multiples."""
+    key = id(dg)
+    hit = _meta_cache.get(key)
+    if hit is not None and hit[0] == R:
+        return hit[1]
+    rep = np.asarray(dg.rep_of)
+    pred = np.asarray(dg.pred_of)
+    on = np.asarray(dg.paths_on)
+    n = dg.n
+    reps, preds, counts = [], [], []
+    for i in range(n):
+        pairs = []
+        seen = set()
+        for q in np.flatnonzero(on[i]):
+            t = (int(rep[i, q]), int(pred[i, q]))
+            if t not in seen:
+                seen.add(t)
+                pairs.append(t)
+        counts.append(len(pairs))
+        reps.append([a for a, _ in pairs])
+        preds.append([b for _, b in pairs])
+    Gd = max(max(counts[1 : n - 1], default=1), 1)
+    steps = -(-(n - 1) // R)
+    n_pad = steps * R
+    grep = np.full((n_pad, Gd), -1, np.int32)
+    gpred = np.full((n_pad, Gd), 0, np.int32)
+    for i in range(1, n - 1):
+        grep[i, : counts[i]] = reps[i]
+        gpred[i, : counts[i]] = preds[i]
+    out = (grep.reshape(-1), gpred.reshape(-1), Gd, steps, n_pad)
+    _meta_cache[key] = (R, out)
+    return out
+
+
+def pick_bt(B: int, P_pad: int, Lp: int, Gd: int, R: int) -> int:
+    """Largest power-of-two batch tile whose VMEM footprint fits."""
+    words = (RING + 2 + 2 + 3) * P_pad + 16  # ring + farbuf + staging + temps
+    bt = 32
+    while bt > 1 and (words * 4 * bt * Lp > VMEM_BUDGET or bt > B or B % bt):
+        bt //= 2
+    return bt
+
+
+_cache: dict = {}
+
+
+def eligible(dg, table, Lp128: int) -> bool:
+    """Kernel gate: the packed-chain encoding fits (same bound as the
+    XLA engine's encode_chain) and the metadata fits SMEM."""
+    mx = int(np.abs(np.asarray(table)).max())
+    if 2 * Lp128 * mx >= (1 << 16):
+        return False
+    grep, gpred, Gd, steps, n_pad = _group_meta(dg, 8)
+    return n_pad * (2 * Gd + 3) * 4 < 600_000
+
+
+def fill_pathwise_v1(dg, table, seq, semiglobal: bool, R=8, Bt=None,
+                     interpret=False):
+    """Pallas pathwise fill; returns A int32[B, P, n, Lp128].
+
+    Bit-identical to `_fill_pathwise(..., encode_chain=True)` over the
+    first Lp lanes (pad lanes extend the read with N columns, which
+    consumers slice off; rows past n-1 are zero).
+    """
+    B, Lp = seq.shape
+    P = dg.paths_number
+    P_pad = -(-P // 8) * 8
+    Lp128 = -(-Lp // 128) * 128
+    if Lp128 != Lp:
+        from .. import scoring
+
+        seq = jnp.pad(seq, ((0, 0), (0, Lp128 - Lp)),
+                      constant_values=scoring.N)
+        Lp = Lp128
+    grep, gpred, Gd, steps, n_pad = _group_meta(dg, R)
+    if Bt is None:
+        Bt = pick_bt(B, P_pad, Lp, Gd, R)
+    if B % Bt:
+        raise ValueError(f"batch {B} not divisible by tile {Bt}")
+    n = dg.n
+
+    key = (n, Lp, Bt, R, B, Gd, bool(semiglobal), interpret)
+    fn = _cache.get(key)
+    if fn is None:
+        kernel = _make_kernel(R, steps, Gd, Bt, bool(semiglobal))
+        fn = jax.jit(
+            pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=5,
+                    grid=(B // Bt, steps),
+                    in_specs=[
+                        pl.BlockSpec((R, P_pad), lambda b, s, *_: (s, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R, P_pad), lambda b, s, *_: (s, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((7, Bt, Lp), lambda b, s, *_: (0, b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, Lp), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, Lp), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec(memory_space=pl.ANY),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((RING, Bt, P_pad, Lp), jnp.int32),
+                        pltpu.VMEM((2, Bt, P_pad, Lp), jnp.int32),
+                        pltpu.VMEM((Bt, P_pad, Lp), jnp.int32),
+                        pltpu.VMEM((Bt, P_pad, Lp), jnp.int32),
+                        pltpu.VMEM((Bt, Lp), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(()),
+                    ],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_pad, B, P_pad, Lp), jnp.int32),
+                ],
+                interpret=interpret,
+            )
+        )
+        _cache[key] = fn
+
+    codes7 = jnp.arange(7, dtype=jnp.int32)
+    # sub[c] = table[c][seq] — node-code-major, matching the XLA
+    # engine's table[code_i][seq] (order matters for asymmetric HOXD)
+    sub = table[codes7][:, seq]                        # [7, B, Lp]
+    gseq = table[seq, GAP]
+    G = jnp.cumsum(gseq, axis=1)
+    rep_in = jnp.zeros((n_pad, P_pad), jnp.int32).at[:n, :P].set(
+        jnp.asarray(dg.rep_of)
+    )
+    on_in = jnp.zeros((n_pad, P_pad), jnp.int32).at[:n, :P].set(
+        jnp.asarray(dg.paths_on, jnp.int32)
+    )
+    gnode = table[dg.codes, GAP]
+    gnode = jnp.pad(gnode, (0, n_pad - n))
+    codes = jnp.pad(dg.codes, (0, n_pad - n))
+    nrows = jnp.asarray([n - 1], dtype=jnp.int32)
+    (out,) = fn(
+        jnp.asarray(grep), jnp.asarray(gpred), codes, gnode, nrows,
+        rep_in, on_in, sub, gseq, G,
+    )
+    # consumers take [B, P, n, Lp]
+    A = jnp.moveaxis(out[:n, :, :P, :], 0, 2)
+    return A

@@ -139,6 +139,40 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
     return jnp.transpose(A.reshape(n, P, B, Lp), (2, 1, 0, 3))  # [B,P,n,Lp]
 
 
+def fill_pathwise_best(dg, table, seq, semiglobal: bool, fits: bool):
+    """Fastest available pathwise fill; returns A int32[B, P, n, Lp].
+
+    On TPU with 128-aligned lanes and the packed-chain bound holding
+    (``fits``, same gate as the XLA engine's encode_chain) dispatches
+    the row-fused Pallas kernel (pallas_pathwise.py); else the XLA
+    scan.  Under a data-parallel mesh the Pallas call is shard_mapped
+    over the reads axis (GSPMD cannot partition a pallas_call).
+    """
+    if fits and jax.default_backend() == "tpu" and seq.shape[1] % 128 == 0:
+        from . import pallas_pathwise
+        from .poa_engine import _pallas_batch_plan, _shard_map_fill
+
+        if pallas_pathwise.eligible(dg, table, seq.shape[1]):
+            B = seq.shape[0]
+            mesh, (seq_p,), _ = _pallas_batch_plan((seq,))
+            fill = lambda s: pallas_pathwise.fill_pathwise_v1(
+                dg, table, s, semiglobal
+            )
+            if mesh is not None:
+                fill = _shard_map_fill(mesh, fill, 1, (0,))
+            return fill(seq_p)[:B]
+    return _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal), encode_chain=fits)
+
+
+def _align_lp(sequences) -> int:
+    """Chunk pad width: 128-aligned on TPU so the Pallas fill needs no
+    reslice (the XLA engines are pad-column-safe either way)."""
+    Lp = max(len(s) for s in sequences)
+    if jax.default_backend() == "tpu":
+        Lp = -(-Lp // 128) * 128
+    return Lp
+
+
 @jax.jit
 def _final_column(A, L):
     """A[:, :, :, L-1] per read -> int32[B, P, n]."""
@@ -183,14 +217,14 @@ def run_batch(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
     n, P = dg.n, dg.paths_number
     records = []
     # chunk the batch so A = [B, P, n, Lp] stays under chunk_bytes
-    Lp_all = max(len(s) for s in sequences)
+    Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4
     chunk = max(1, int(chunk_bytes // per_read))
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
-        A = _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal), encode_chain=fits)
+        A = fill_pathwise_best(dg, table, seq, semiglobal, fits)
         finalcol = np.asarray(jax.device_get(_final_column(A, L)))
         bps, nodes = [], []
         for b in range(len(chunk_seqs)):
@@ -335,7 +369,7 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
     rep_of, pred_of = pathwise_meta(g)
     pred_of_full = jnp.asarray(pred_of)                    # [n, P]
     records = []
-    Lp_all = max(len(s) for s in sequences)
+    Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4
     chunk = max(1, int(chunk_bytes // per_read))
     W = n + Lp_all + 4
@@ -343,7 +377,7 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
         chunk_seqs = sequences[c0 : c0 + chunk]
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
-        A = _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal), encode_chain=fits)
+        A = fill_pathwise_best(dg, table, seq, semiglobal, fits)
         finalcol = np.asarray(jax.device_get(_final_column(A, L)))
         bps, nodes, scores = [], [], []
         for b in range(len(chunk_seqs)):

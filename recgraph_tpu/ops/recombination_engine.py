@@ -39,8 +39,8 @@ from ..oracle import recombination as rec_oracle
 from ..scoring import GAP, SENTINEL
 from .encode import PathDeviceGraph, path_device_graph, encode_reads
 from .pathwise_engine import (
-    _fill_pathwise, _final_column, _extract_plane, _walk_pathwise,
-    _record_from_walk,
+    _align_lp, _final_column, _extract_plane, _walk_pathwise,
+    _record_from_walk, fill_pathwise_best,
 )
 from .poa_engine import D as D_C, LOW_D as LOW_D_C, L_DIR as L_C, U_DIR as U_C
 
@@ -425,7 +425,7 @@ def run_batch(
         _split_cache[I] = split
 
     records: list[GafRecord] = []
-    Lp_all = max(len(s) for s in sequences)
+    Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
     for c0 in range(0, len(sequences), chunk):
@@ -433,7 +433,7 @@ def run_batch(
         B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
-        Af = _fill_pathwise(dg, table, seq, jnp.bool_(mode == 9), encode_chain=fits)
+        Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
         Ar = _fill_pathwise_rev(
             dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
         )
@@ -698,7 +698,7 @@ def run_batch_walks(
         _split_cache[I] = split
 
     records: list[GafRecord] = []
-    Lp_all = max(len(s) for s in sequences)
+    Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
     W = n + Lp_all + 4
@@ -707,7 +707,7 @@ def run_batch_walks(
         B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
-        Af = _fill_pathwise(dg, table, seq, jnp.bool_(mode == 9), encode_chain=fits)
+        Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
         Ar = _fill_pathwise_rev(
             dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
         )
