@@ -169,7 +169,7 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
         pg = PathGraph.from_gfa(parsed)
         pdg = pathwise_engine.path_device_graph(pg)
         B4 = 32
-        seq4, L4 = encode_reads(reads[:B4])
+        seq4, L4 = encode_reads(reads[:B4], pad_to=pathwise_engine._align_lp(reads[:B4]))
         P = pdg.paths_number
         cells4 = B4 * pdg.n * seq4.shape[1] * P
 
@@ -179,8 +179,8 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
                 tot = jnp.int32(0)
                 s = seq
                 for _ in range(k):
-                    A = pathwise_engine._fill_pathwise(
-                        pdg, table, s, jnp.bool_(False)
+                    A = pathwise_engine.fill_pathwise_best(
+                        pdg, table, s, False, True
                     )
                     tot = tot + A.reshape(-1)[123] + jnp.max(A[:, :, -2, -1])
                     s = jnp.roll(seq, tot & 3, axis=0)
@@ -200,7 +200,7 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
         rg = pg.reverse()
         rdg = recombination_engine.rev_device_graph(rg)
         B8 = 16
-        seq8, L8 = encode_reads(reads[:B8])
+        seq8, L8 = encode_reads(reads[:B8], pad_to=pathwise_engine._align_lp(reads[:B8]))
         cells8 = 2 * B8 * pdg.n * seq8.shape[1] * P
 
         def chained_rec(k):
@@ -209,11 +209,11 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
                 tot = jnp.int32(0)
                 s = seq
                 for _ in range(k):
-                    Af = recombination_engine._fill_pathwise(
-                        pdg, table, s, jnp.bool_(False)
+                    Af = pathwise_engine.fill_pathwise_best(
+                        pdg, table, s, False, True
                     )
-                    Ar = recombination_engine._fill_pathwise_rev(
-                        rdg, table, s, L, jnp.bool_(True)
+                    Ar = pathwise_engine.fill_pathwise_rev_best(
+                        rdg, table, s, L, True, True
                     )
                     tot = (
                         tot + Af.reshape(-1)[123] + Ar.reshape(-1)[123]

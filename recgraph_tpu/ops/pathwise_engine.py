@@ -164,6 +164,29 @@ def fill_pathwise_best(dg, table, seq, semiglobal: bool, fits: bool):
     return _fill_pathwise(dg, table, seq, jnp.bool_(semiglobal), encode_chain=fits)
 
 
+def fill_pathwise_rev_best(dgr, table, seq, L, mode8: bool, fits: bool):
+    """Fastest reverse pathwise fill (modes 8/9); mirrors
+    :func:`fill_pathwise_best`."""
+    if fits and jax.default_backend() == "tpu" and seq.shape[1] % 128 == 0:
+        from . import pallas_pathwise
+        from .poa_engine import _pallas_batch_plan, _shard_map_fill
+
+        if pallas_pathwise.eligible_rev(dgr, table, seq.shape[1]):
+            B = seq.shape[0]
+            mesh, (seq_p, L_p), _ = _pallas_batch_plan((seq, L))
+            fill = lambda s, l: pallas_pathwise.fill_pathwise_rev_v1(
+                dgr, table, s, l, mode8
+            )
+            if mesh is not None:
+                fill = _shard_map_fill(mesh, fill, 2, (0,))
+            return fill(seq_p, L_p)[:B]
+    from .recombination_engine import _fill_pathwise_rev
+
+    return _fill_pathwise_rev(
+        dgr, table, seq, L, jnp.bool_(mode8), encode_chain=fits
+    )
+
+
 def _align_lp(sequences) -> int:
     """Chunk pad width: 128-aligned on TPU so the Pallas fill needs no
     reslice (the XLA engines are pad-column-safe either way)."""

@@ -38,6 +38,7 @@ from ..io.gaf import GafRecord
 from ..oracle import recombination as rec_oracle
 from ..scoring import GAP, SENTINEL
 from .encode import PathDeviceGraph, path_device_graph, encode_reads
+from . import pathwise_engine as pathwise_engine_mod
 from .pathwise_engine import (
     _align_lp, _final_column, _extract_plane, _walk_pathwise,
     _record_from_walk, fill_pathwise_best,
@@ -434,8 +435,8 @@ def run_batch(
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
         Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
-        Ar = _fill_pathwise_rev(
-            dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
+        Ar = pathwise_engine_mod.fill_pathwise_rev_best(
+            dgr, table, seq, L, mode == 8, fits
         )
 
         Bp = seq.shape[0]  # >= B when a data-parallel mesh pads the batch
@@ -708,8 +709,8 @@ def run_batch_walks(
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
         Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
-        Ar = _fill_pathwise_rev(
-            dgr, table, seq, L, jnp.bool_(mode == 8), encode_chain=fits
+        Ar = pathwise_engine_mod.fill_pathwise_rev_best(
+            dgr, table, seq, L, mode == 8, fits
         )
 
         Bp = seq.shape[0]  # >= B when a data-parallel mesh pads the batch

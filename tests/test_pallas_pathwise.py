@@ -36,3 +36,23 @@ def test_pallas_pathwise_bit_exact(corpus, semiglobal):
                                          interpret=True)
     )
     assert (ref == got[:, :, :, : ref.shape[3]]).all()
+
+
+@pytest.mark.parametrize("mode8", [True, False])
+def test_pallas_pathwise_rev_bit_exact(corpus, mode8):
+    from recgraph_tpu.ops import recombination_engine
+
+    seqs, g, sm = corpus
+    rg = g.reverse()
+    dgr = recombination_engine.rev_device_graph(rg)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(seqs)
+    ref = np.asarray(
+        recombination_engine._fill_pathwise_rev(dgr, table, seq, L,
+                                                jnp.bool_(mode8))
+    )
+    got = np.asarray(
+        pallas_pathwise.fill_pathwise_rev_v1(dgr, table, seq, L, mode8,
+                                             interpret=True)
+    )
+    assert (ref == got[:, :, :, : ref.shape[3]]).all()
