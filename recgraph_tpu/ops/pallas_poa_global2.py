@@ -1,0 +1,458 @@
+"""Banded global-POA Pallas fill, v2 — the v5 levers applied to mode 0.
+
+Same recurrence and outputs as `pallas_poa.fill_global` (mode-0 fill of
+global_abpoa.rs:260-427 with the in-kernel adaptive band of
+utils.rs:17-72), restructured with the levers that took the local
+kernel from 2.1 to 8.4 Gcells/s (pallas_poa_v5.py, PERF.md):
+
+1. **128-aligned lane extents** — v1 ran at Lpo = Lp + 8 (160 lanes for
+   the example corpus), putting every Mosaic roll on the unaligned slow
+   path (~3x); v2 pads to a 128 multiple and keeps the band-bound lanes
+   (Lpo-8 / Lpo-7) inside the padding.
+2. **Hoisted gap cumsums** — v1 recomputed the O(log L) roll-add prefix
+   sum of the gap row EVERY row; it is row-invariant (one plane for row
+   0, one for the rest), so v2 computes both once per batch tile into
+   scratch.
+3. **Radix-4 Kogge-Stone chain** for the in-row (max,+) prefix solve
+   (these [Bt, Lpo] operands are latency-bound like the local kernel's,
+   not throughput-bound like the pathwise kernel's 3-D ones).
+4. **Non-start fast path** — rows whose only predecessor is i-1 (the
+   vast majority) skip the Pm-wide band/candidate sweeps: the band seed
+   is bsp[i-1] + 1 and both U/D candidates come from the previous row,
+   kept in a dedicated scratch.
+5. **R-row unroll + int16 ring** — R rows per grid step; the RING=256
+   predecessor ring stores int16 whenever max|table| * (n + Lpo) fits
+   (out-of-band NEG lanes are regenerated from the band masks on read,
+   never from ring values, so clipping them is safe).
+
+Outputs match `poa_engine._fill_global` bit-for-bit (same packed cells,
+band bounds, first-best sink selection); pinned by
+tests/test_pallas_poa.py::test_global_v2*.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scoring import GAP
+from .poa_engine import NEG, O, D, LOW_D, L_DIR, U_DIR
+from .pallas_poa import RING
+
+VMEM_BUDGET = 14 * 1024 * 1024
+RADIX = 4
+
+
+def _chain_radix(x, jcol, Lp):
+    k = 1
+    while k < Lp:
+        cands = []
+        for m in range(1, RADIX):
+            d = m * k
+            if d < Lp:
+                cands.append(jnp.where(jcol >= d, pltpu.roll(x, d, 1), NEG))
+        for c in cands:
+            x = jnp.maximum(x, c)
+        k *= RADIX
+    return x
+
+
+def _cumsum_lanes(x, jcol, Lp):
+    k = 1
+    while k < Lp:
+        sh = pltpu.roll(x, k, 1)
+        x = jnp.where(jcol >= k, x + sh, x)
+        k *= 2
+    return x
+
+
+def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
+    num_sinks = len(sink_rows)
+    rdt = jnp.int16 if ring16 else jnp.int32
+
+    def kernel(
+        pred_idx_ref,   # i32[n * Pm] (flat)
+        is_start_ref,   # i32[n]
+        gnode_ref,      # i32[n]
+        codes_ref,      # i32[n]
+        r_ref,          # i32[n]     utils::set_r_values
+        minp_ref,       # i32[n]     min predecessor / i-1
+        sink_ord_ref,   # i32[n]     ordinal among F's preds, -1 otherwise
+        sub_ref,        # [7, Bt, Lpo]
+        eq_ref,         # [7, Bt, Lpo]
+        gseq_ref,       # [Bt, Lpo]  table[seq, '-']
+        gcol0_ref,      # [Bt, Lpo]  table['-', seq] (row 0)
+        aux_ref,        # [Bt, 128]  lane0=L, lane1=bta
+        packed_ref,     # out [R, Bt, Lpo]
+        score_ref,      # out [Bt, 1]
+        lrow_ref,       # out [Bt, 1]
+        lcol_ref,       # out [Bt, 1]
+        ring,           # scratch [RING, Bt, Lpo] (rdt)
+        row0_s,         # scratch [Bt, Lpo]
+        prev_s,         # scratch [Bt, Lpo] (previous row, int32)
+        G_s,            # scratch [2, Bt, Lpo] (cumsum gseq / gcol0)
+        sweep_s,        # scratch [4, Bt, Lpo] (start-row sweep staging)
+        lefts_s,        # scratch [n_scr, Bt]
+        rights_s,       # scratch [n_scr, Bt]
+        bsp_s,          # scratch [n_scr, Bt]
+        sink_v,         # scratch [8 * ceil(S/8), Bt]
+        sink_c,         # scratch [...same]
+    ):
+        step = pl.program_id(1)
+        Bt, Lpo = gseq_ref.shape
+        Pm = pred_idx_ref.shape[0] // codes_ref.shape[0]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lpo), 1)
+        L = aux_ref[:, 0:1]                               # [Bt, 1]
+        bta = aux_ref[:, 1:2]
+        NEGc = jnp.int32(NEG)
+
+        def lane_at(row, col):
+            return jnp.max(
+                jnp.where(jcol == col, row, NEGc), axis=1, keepdims=True
+            )
+
+        @pl.when(step == 0)
+        def _():
+            G_s[0] = _cumsum_lanes(gseq_ref[:, :], jcol, Lpo)
+            G_s[1] = _cumsum_lanes(gcol0_ref[:, :], jcol, Lpo)
+
+        G = G_s[0]
+        gseq = gseq_ref[:, :]
+
+        for r in range(R):
+            i = step * R + r
+            ii = jnp.minimum(i, n - 1)   # clamp tail-pad metadata reads
+            live = i < n - 1
+
+            # ---- adaptive band (utils.rs:17-72) ----
+            # fast path: the only pred is i-1, so the seed is
+            # bsp[i-1]; start rows sweep all preds ([Bt, 1] selects —
+            # near-free, so the sweep runs unconditionally masked)
+            is_start = (is_start_ref[ii] != 0) & (i > 0) & live
+            pb_prev = jnp.transpose(bsp_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
+            ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
+            me_s = jnp.full((Bt, 1), NEG, jnp.int32)
+            for p in range(Pm):
+                pidx = pred_idx_ref[ii * Pm + p]
+                ok = (pidx >= 0) & is_start
+                pb = jnp.transpose(bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :])
+                ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
+                me_s = jnp.where(ok & (pb > me_s), pb, me_s)
+            ms = jnp.where(is_start, ms_s, pb_prev) + 1
+            me = jnp.where(is_start, me_s, pb_prev) + 1
+            ms = jnp.where(i == 0, 0, ms)
+            me = jnp.where(i == 0, 0, me)
+            r_i = r_ref[ii]
+            left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
+            right = jnp.where(
+                L > r_i,
+                jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
+                jnp.minimum(L, me + bta),
+            )
+            in_band = (left <= jcol) & (jcol < right)
+
+            code_i = codes_ref[ii]
+            gnode_i = gnode_ref[ii]
+            minp = minp_ref[ii]
+            subrow = sub_ref[code_i]
+            match = eq_ref[code_i] != 0
+
+            # ---- predecessor candidates ----
+            # fast path: single pred i-1 (prev_s, int32, band-masked)
+            pl_f = jnp.transpose(lefts_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
+            pr_f = jnp.transpose(rights_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
+            prev = prev_s[:, :]
+            cov_u = (pl_f <= jcol) & (jcol < pr_f)
+            u_pre_f = jnp.where(cov_u, prev, NEGc)
+            prev_sh = pltpu.roll(prev, 1, 1)
+            cov_d = (pl_f < jcol) & (jcol <= pr_f)
+            d_pre_f = jnp.where(cov_d & (jcol > 0), prev_sh, NEGc)
+
+            def pred_row(pidx):
+                prow = ring[jnp.maximum(pidx, 0) % RING].astype(jnp.int32)
+                return jnp.where(pidx == 0, row0_s[:, :], prow)
+
+            @pl.when(is_start)
+            def _():
+                # full first-best predecessor sweep (ascending order,
+                # global_abpoa.rs:486-566), staged through sweep_s
+                u_pre = jnp.full((Bt, Lpo), NEG, jnp.int32)
+                u_arg = jnp.zeros((Bt, Lpo), jnp.int32)
+                d_pre = jnp.full((Bt, Lpo), NEG, jnp.int32)
+                d_arg = jnp.zeros((Bt, Lpo), jnp.int32)
+                for p in range(Pm):
+                    pidx = pred_idx_ref[ii * Pm + p]
+                    ok = pidx >= 0
+                    prow = pred_row(pidx)
+                    pl_ = jnp.transpose(
+                        lefts_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
+                    )
+                    pr_ = jnp.transpose(
+                        rights_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
+                    )
+                    cu = ok & (pl_ <= jcol) & (jcol < pr_)
+                    v = jnp.where(cu, prow, NEGc)
+                    upd = v > u_pre
+                    u_arg = jnp.where(upd, pidx, u_arg)
+                    u_pre = jnp.where(upd, v, u_pre)
+                    prow_sh = pltpu.roll(prow, 1, 1)
+                    cd = ok & (pl_ < jcol) & (jcol <= pr_)
+                    v = jnp.where(cd & (jcol > 0), prow_sh, NEGc)
+                    upd = v > d_pre
+                    d_arg = jnp.where(upd, pidx, d_arg)
+                    d_pre = jnp.where(upd, v, d_pre)
+                sweep_s[0] = u_pre
+                sweep_s[1] = u_arg
+                sweep_s[2] = d_pre
+                sweep_s[3] = d_arg
+
+            u_pre = jnp.where(is_start, sweep_s[0], u_pre_f)
+            u_arg = jnp.where(is_start, sweep_s[1], i - 1)
+            d_pre = jnp.where(is_start, sweep_s[2], d_pre_f)
+            d_arg = jnp.where(is_start, sweep_s[3], i - 1)
+
+            has_u = u_pre > NEGc // 2
+            u_val = jnp.where(has_u, u_pre + gnode_i, gnode_i * (i + jcol))
+            u_pred = jnp.where(has_u, u_arg, minp)
+            has_d = d_pre > NEGc // 2
+            d_fb = gnode_i * (i + left)
+            d_val = jnp.where(has_d, d_pre + subrow, d_fb)
+            d_pred = jnp.where(has_d, d_arg, minp)
+
+            # ---- chain restart values ----
+            A = jnp.maximum(d_val, u_val)
+            gseq_left = lane_at(gseq, left)
+            l_fb = gseq_left * (i + left)
+            minp_row = pred_row(minp)
+            lefts_minp = jnp.transpose(lefts_s[pl.ds(minp, 1), :])
+            base0 = lane_at(minp_row, lefts_minp) + gnode_i
+            is_left = jcol == left
+            A_left = jnp.where(
+                left == 0, base0, jnp.maximum(lane_at(A, left), l_fb)
+            )
+            A = jnp.where(is_left, A_left, A)
+            A = jnp.where(in_band, A, NEGc)
+
+            Grow = jnp.where(i == 0, G_s[1], G)
+            A0row = jnp.where(in_band, Grow, NEGc)
+            A0row = jnp.where(jcol == 0, 0, A0row)
+            m_row = jnp.where(
+                i == 0, A0row, Grow + _chain_radix(A - Grow, jcol, Lpo)
+            )
+            m_row = jnp.where(in_band, m_row, NEGc)
+            m_row = jnp.where((i == 0) & (jcol == 0), 0, m_row)
+
+            masked = jnp.where(in_band, m_row, NEGc)
+            rmax = jnp.max(masked, axis=1, keepdims=True)
+            bsp_i = jnp.max(
+                jnp.where((masked == rmax) & in_band, jcol, -1),
+                axis=1, keepdims=True,
+            )
+
+            # ---- directions (utils.rs:129-140, D >= U >= L) ----
+            m_prev = pltpu.roll(m_row, 1, 1)
+            m_prev = jnp.where(jcol == 0, NEGc, m_prev)
+            l_val = m_prev + gseq
+            l_val = jnp.where(
+                is_left, jnp.where(left == 0, NEGc, l_fb), l_val
+            )
+            l_pred = jnp.where(jcol > left, i, minp)
+            d_ge_u = d_val >= u_val
+            dirD = d_ge_u & (d_val >= l_val)
+            dirU = (~d_ge_u) & (u_val >= l_val)
+            dcode = jnp.where(
+                dirD, jnp.where(match, D, LOW_D), jnp.where(dirU, U_DIR, L_DIR)
+            )
+            pred_sel = jnp.where(dirD, d_pred, jnp.where(dirU, u_pred, l_pred))
+            is_base = is_left & (left == 0)
+            dcode = jnp.where(is_base, U_DIR, dcode)
+            pred_sel = jnp.where(is_base, minp, pred_sel)
+            dcode = jnp.where(
+                i == 0, jnp.where(jcol == 0, O, L_DIR), dcode
+            )
+            pred_sel = jnp.where(i == 0, 0, pred_sel)
+            pk = jnp.where(in_band, pred_sel * 16 + dcode, 0)
+            pk = jnp.where(i == 0, jnp.where(
+                in_band & (jcol > 0), jnp.int32(L_DIR), jnp.int32(O)
+            ), pk)
+            pk = jnp.where(jcol == Lb, left, pk)      # caller reads the
+            pk = jnp.where(jcol == Lb + 1, right, pk)  # bounds at Lp/Lp+1
+            pk = jnp.where(live, pk, 0)
+            packed_ref[r] = pk
+
+            m_store = jnp.where(live, m_row, NEGc)
+            if ring16:
+                ring[i % RING] = jnp.clip(m_store, -32768, 32767).astype(rdt)
+            else:
+                ring[i % RING] = m_store
+            prev_s[:, :] = m_store
+
+            @pl.when(i == 0)
+            def _():
+                row0_s[:, :] = m_store
+
+            iw = jnp.minimum(i, lefts_s.shape[0] - 1)  # pad rows: spare slot
+            lefts_s[pl.ds(iw, 1), :] = jnp.transpose(left)
+            rights_s[pl.ds(iw, 1), :] = jnp.transpose(right)
+            bsp_s[pl.ds(iw, 1), :] = jnp.transpose(bsp_i)
+
+            # ---- sink capture + final selection (":397-405") ----
+            so = sink_ord_ref[ii]
+
+            @pl.when((so >= 0) & live)
+            def _():
+                sink_v[pl.ds(so, 1), :] = jnp.transpose(
+                    lane_at(m_row, right - 1)
+                )
+                sink_c[pl.ds(so, 1), :] = jnp.transpose(right - 1)
+
+            @pl.when(i == n - 2)
+            def _():
+                best = lane_at(m_row, right - 1)
+                brow = jnp.full((Bt, 1), i, jnp.int32)
+                bcol = right - 1
+                for k in range(num_sinks):
+                    v = jnp.transpose(sink_v[pl.ds(k, 1), :])
+                    c = jnp.transpose(sink_c[pl.ds(k, 1), :])
+                    upd = v > best
+                    best = jnp.where(upd, v, best)
+                    brow = jnp.where(upd, jnp.int32(sink_rows[k]), brow)
+                    bcol = jnp.where(upd, c, bcol)
+                score_ref[:, :] = best
+                lrow_ref[:, :] = brow
+                lcol_ref[:, :] = bcol
+
+    return kernel
+
+
+_cache: dict = {}
+
+
+def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8) -> int:
+    """Largest power-of-two batch tile whose VMEM footprint fits.
+
+    Words per (Bt x Lpo) element: ring RING*(0.5|1), sub+eq 28 (x2
+    buffers), gseq/gcol0/aux ~6, packed out 2R, scratch 8.
+    """
+    words = RING * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 8
+    bt = 64
+    while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
+        bt //= 2
+    return bt
+
+
+def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
+                   ring16=None):
+    """Drop-in for pallas_poa.fill_global (same outputs/packed layout).
+
+    Pads lanes to a 128 multiple internally; ``packed`` is returned at
+    the padded width [n, B, Lpo] with band bounds in lanes Lp/Lp+1
+    (the caller's unpadded width — where fill_global's callers look).
+    """
+    B, Lp = seq.shape
+    Lpo = -(-(Lp + 8) // 128) * 128
+    n = dg.n
+    if ring16 is None:
+        if isinstance(table, jax.core.Tracer):
+            ring16 = False
+        else:
+            from .poa_engine import sm_max_entry
+
+            ring16 = sm_max_entry(table) * (n + Lpo) < 32000
+    if Bt is None:
+        Bt = pick_bt(B, Lpo, ring16, R)
+    if B % Bt:
+        raise ValueError(f"batch {B} not divisible by tile {Bt}")
+    steps = -(-(n - 1) // R)
+    n_pad = steps * R
+    n_scr = -(-(n + 1) // 8) * 8
+    sink_rows = dg.sink_rows
+    sink_pad = (len(sink_rows) + 7) // 8 * 8
+
+    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16)
+    fn = _cache.get(key)
+    if fn is None:
+        kernel = _make_kernel(sink_rows, R, n, ring16, Lp)
+        fn = jax.jit(
+            pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=7,
+                    grid=(B // Bt, steps),
+                    in_specs=[
+                        pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, 128), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((R, Bt, Lpo), lambda b, s, *_: (s, b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((RING, Bt, Lpo),
+                                   jnp.int16 if ring16 else jnp.int32),
+                        pltpu.VMEM((Bt, Lpo), jnp.int32),
+                        pltpu.VMEM((Bt, Lpo), jnp.int32),
+                        pltpu.VMEM((2, Bt, Lpo), jnp.int32),
+                        pltpu.VMEM((4, Bt, Lpo), jnp.int32),
+                        pltpu.VMEM((n_scr, Bt), jnp.int32),
+                        pltpu.VMEM((n_scr, Bt), jnp.int32),
+                        pltpu.VMEM((n_scr, Bt), jnp.int32),
+                        pltpu.VMEM((sink_pad, Bt), jnp.int32),
+                        pltpu.VMEM((sink_pad, Bt), jnp.int32),
+                    ],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_pad, B, Lpo), jnp.int32),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                ],
+                interpret=interpret,
+            )
+        )
+        _cache[key] = fn
+
+    pad = jnp.zeros((B, Lpo - Lp), dtype=jnp.int32)
+    codes7 = jnp.arange(7, dtype=jnp.int32)
+    sub = jnp.concatenate(
+        [table[codes7][:, seq], jnp.zeros((7, B, Lpo - Lp), jnp.int32)],
+        axis=2,
+    )
+    eq = jnp.concatenate(
+        [(seq[None] == codes7[:, None, None]).astype(jnp.int32),
+         jnp.zeros((7, B, Lpo - Lp), jnp.int32)], axis=2
+    )
+    gseq = jnp.concatenate([table[seq, GAP], pad], axis=1)
+    gcol0 = jnp.concatenate([table[GAP, seq], pad], axis=1)
+    aux = jnp.zeros((B, 128), jnp.int32)
+    aux = aux.at[:, 0].set(L).at[:, 1].set(jnp.asarray(bta, jnp.int32))
+    sink_ord = np.full(n, -1, dtype=np.int32)
+    for k, srow in enumerate(sink_rows):
+        sink_ord[srow] = k
+    gnode = table[dg.codes, GAP]
+    packed, score, lrow, lcol = fn(
+        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32), gnode,
+        dg.codes, dg.r_values, dg.min_pred, jnp.asarray(sink_ord),
+        sub, eq, gseq, gcol0, aux,
+    )
+    packed = packed[:n].at[n - 1].set(0)
+    return score[:, 0], lrow[:, 0], lcol[:, 0], packed

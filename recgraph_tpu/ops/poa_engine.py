@@ -625,13 +625,18 @@ def fill_global_best(dg, table, seq, L, bta, g=None):
     Pallas tile are padded with copies of read 0 and sliced back.
     """
     if jax.default_backend() == "tpu" and g is not None:
-        from . import pallas_poa
+        from . import pallas_poa, pallas_poa_global2
 
         smem_ok = dg.n * (dg.max_preds + 6) * 4 < 700_000
         if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
             B = seq.shape[0]
-            mesh, (seq, L, bta), Bt = _pallas_batch_plan((seq, L, bta))
-            fill = lambda s, l, b: pallas_poa.fill_global(dg, table, s, l, b, Bt=Bt)
+            mesh, (seq, L, bta), _ = _pallas_batch_plan((seq, L, bta))
+            # v2 (128-aligned lanes + hoisted cumsums + radix-4 chain +
+            # non-start fast path + int16 ring) is the fast kernel;
+            # bounds ride lanes Lp/Lp+1 as before
+            fill = lambda s, l, b: pallas_poa_global2.fill_global_v2(
+                dg, table, s, l, b
+            )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 3, (0, 0, 0, 1))
             score, lrow, lcol, packed = fill(seq, L, bta)

@@ -185,3 +185,38 @@ def test_pallas_local_v5_matches_xla(example_paths):
                 np.transpose(op[:n, :, :Lp], (1, 0, 2)), rp[:, :n]
             )
             assert (op[:, :, Lp:] % 16 == 0).all()  # pad lanes: O direction
+
+
+def test_global_v2_bit_exact(example_paths):
+    """pallas_poa_global2 vs the XLA engine, both ring widths."""
+    from recgraph_tpu.ops import pallas_poa_global2
+    from recgraph_tpu.ops.encode import encode_read_aux
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(seqs[:8])
+    Lp = seq.shape[1]
+    bta = encode_read_aux([100] * 8)
+    ref = [np.asarray(x) for x in poa_engine._fill_global(dg, table, seq, L, bta)]
+    sc, lf, rt = ref[0], ref[4], ref[5]
+    for ring16 in (True, False):
+        got = [
+            np.asarray(x)
+            for x in pallas_poa_global2.fill_global_v2(
+                dg, table, seq, L, bta, Bt=8, interpret=True, ring16=ring16
+            )
+        ]
+        assert (sc == got[0]).all() and (ref[1] == got[1]).all()
+        assert (ref[2] == got[2]).all()
+        pk2 = got[3]
+        assert (lf[:, : dg.n - 1] == pk2[: dg.n - 1, :, Lp].T).all()
+        assert (rt[:, : dg.n - 1] == pk2[: dg.n - 1, :, Lp + 1].T).all()
+        for b in range(8):
+            for i in range(dg.n - 1):
+                l, r = lf[b, i], rt[b, i]
+                if r > l:
+                    assert (ref[3][b, i, l:r] == pk2[i, b, l:r]).all(), (b, i)
