@@ -162,6 +162,33 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
     except Exception as e:
         print(f"# mode0 bench failed: {e}", file=sys.stderr)
 
+    # ---- mode 2: affine-gap global POA fill ----
+    try:
+        from recgraph_tpu.ops import poa_gap_engine
+
+        def chained_gap(k):
+            @jax.jit
+            def fn(seq, L):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    out = poa_gap_engine.fill_gap_global_best(
+                        dg, table, s, L, bta, -4, -2, g
+                    )
+                    tot = tot + jnp.sum(out[0]) + out[3].reshape(-1)[12345]
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq, L))
+
+        dt2 = slope_time(chained_gap, iters)
+        line(
+            "gap_global_dp_throughput", cells / dt2 / 1e9, base_avx2,
+            f"mode2 batch={batch} per-fill={dt2*1e3:.1f}ms reads/s={batch/dt2:.0f}",
+        )
+    except Exception as e:
+        print(f"# mode2 bench failed: {e}", file=sys.stderr)
+
     # ---- modes 4 and 8: pathwise / recombination fills ----
     try:
         from recgraph_tpu.ops import pathwise_engine, recombination_engine

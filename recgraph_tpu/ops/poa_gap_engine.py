@@ -402,6 +402,35 @@ def _fill_gap_local(dg, table, seq, L, o, e):
 # ---------------------------------------------------------------------------
 
 
+def fill_gap_global_best(dg, table, seq, L, bta, o, e, g=None):
+    """Mode-2 fill through the fastest available backend.
+
+    Returns (score, last_row, last_col_abs, packed, packed_x, packed_y,
+    lefts, rights, batch_axis); planes are [B, n, Lp] (XLA, baxis 0) or
+    [n, B, Lpo] (Pallas, baxis 1 — band bounds ride lanes Lp/Lp+1).
+    """
+    if jax.default_backend() == "tpu" and g is not None and o <= 0 and e <= 0:
+        from . import pallas_poa, pallas_gap_global
+        from .poa_engine import _pallas_batch_plan, _shard_map_fill
+
+        smem_ok = dg.n * (dg.max_preds + 6) * 4 < 700_000
+        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
+            B, Lp = seq.shape
+            mesh, (seq, L, bta), _ = _pallas_batch_plan((seq, L, bta))
+            fill = lambda s, l, b: pallas_gap_global.fill_gap_global_v2(
+                dg, table, s, l, b, int(o), int(e)
+            )
+            if mesh is not None:
+                fill = _shard_map_fill(mesh, fill, 3, (0, 0, 0, 1, 1, 1))
+            sc, lr, lc, pk, px, py = fill(seq, L, bta)
+            lefts = jnp.moveaxis(pk[:, :, Lp], 0, 1)
+            rights = jnp.moveaxis(pk[:, :, Lp + 1], 0, 1)
+            return (sc[:B], lr[:B], lc[:B], pk[:, :B], px[:, :B], py[:, :B],
+                    lefts[:B], rights[:B], 1)
+    out = _fill_gap_global(dg, table, seq, L, bta, jnp.int32(o), jnp.int32(e))
+    return out[:8] + (0,)
+
+
 def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     dg = poa_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
@@ -418,16 +447,23 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
 
         tiny = jax.default_backend() == "cpu" and dg.n <= 16
         with jax.disable_jit() if tiny else contextlib.nullcontext():
-            out = _fill_gap_global(dg, table, seq, L, bta, oj, ej)[:8]
-        score, last_row, last_col, packed, px, py, lefts, rights = jax.device_get(out)
+            out = fill_gap_global_best(dg, table, seq, L, bta, o, e, g)
+        baxis = out[8]
+        score, last_row, last_col, packed, px, py, lefts, rights = (
+            jax.device_get(out[:8])
+        )
         states = []
         for b in range(B):
+            if baxis == 1:
+                plane, plx, ply = packed[:, b], px[:, b], py[:, b]
+            else:
+                plane, plx, ply = packed[b], px[b], py[b]
             st = _state_from_device(
-                score[b], last_row[b], last_col[b], packed[b], lefts[b], rights[b],
+                score[b], last_row[b], last_col[b], plane, lefts[b], rights[b],
                 len(sequences[b]),
             )
-            st.path_x = _PackedPath(px[b], lefts[b])
-            st.path_y = _PackedPath(py[b], lefts[b])
+            st.path_x = _PackedPath(plx, lefts[b])
+            st.path_y = _PackedPath(ply, lefts[b])
             st.band_check_ok = _gap_band_ampl_enough(
                 st.path, st.path_x, st.path_y, st.last_row, st.last_col,
                 st.ampl, len(sequences[b]),

@@ -1,0 +1,51 @@
+"""Pallas affine-gap global kernel (mode 2) vs the XLA engine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recgraph_tpu.graph.poagraph import PoaGraph
+from recgraph_tpu.io import fasta, gfa
+from recgraph_tpu.ops import pallas_gap_global, poa_gap_engine
+from recgraph_tpu.ops.encode import encode_reads, encode_read_aux, poa_device_graph
+from recgraph_tpu.scoring import ScoreMatrix
+
+
+@pytest.mark.parametrize("oe", [(-4, -2), (0, -1)])
+def test_gap_global_v2_bit_exact(example_paths, oe):
+    o, e = oe
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(seqs[:8])
+    Lp = seq.shape[1]
+    bta = encode_read_aux([100] * 8)
+    ref = [
+        np.asarray(x)
+        for x in poa_gap_engine._fill_gap_global(
+            dg, table, seq, L, bta, jnp.int32(o), jnp.int32(e)
+        )[:8]
+    ]
+    sc, lr, lc, pk, px, py, lf, rt = ref
+    for ring16 in (True, False):
+        got = [
+            np.asarray(x)
+            for x in pallas_gap_global.fill_gap_global_v2(
+                dg, table, seq, L, bta, o, e, Bt=8, interpret=True,
+                ring16=ring16,
+            )
+        ]
+        assert (sc == got[0]).all()
+        assert (lr == got[1]).all() and (lc == got[2]).all()
+        assert (lf[:, : dg.n - 1] == got[3][: dg.n - 1, :, Lp].T).all()
+        assert (rt[:, : dg.n - 1] == got[3][: dg.n - 1, :, Lp + 1].T).all()
+        for b in range(8):
+            for i in range(dg.n - 1):
+                l, r = lf[b, i], rt[b, i]
+                if r > l:
+                    assert (pk[b, i, l:r] == got[3][i, b, l:r]).all(), (b, i)
+                    assert (px[b, i, l:r] == got[4][i, b, l:r]).all(), (b, i)
+                    assert (py[b, i, l:r] == got[5][i, b, l:r]).all(), (b, i)
