@@ -879,10 +879,12 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
     else:
         from . import poa_gap_engine
 
-        out = poa_gap_engine._fill_gap_local(
-            dg, table, seq, L, jnp.int32(o), jnp.int32(e)
-        )
-        score, last_row, last_col, packed, px, py = out
+        out = poa_gap_engine.fill_gap_local_best(dg, table, seq, L, o, e, g)
+        score, last_row, last_col, packed, px, py = out[:6]
+        if out[6] == 1:
+            packed = jnp.moveaxis(packed, 0, 1)
+            px = jnp.moveaxis(px, 0, 1)
+            py = jnp.moveaxis(py, 0, 1)
         lefts = rights = None
 
     dirs, rows, steps, stop_row, stop_col = traceback_engine.walk_poa(

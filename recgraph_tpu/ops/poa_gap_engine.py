@@ -431,6 +431,31 @@ def fill_gap_global_best(dg, table, seq, L, bta, o, e, g=None):
     return out[:8] + (0,)
 
 
+def fill_gap_local_best(dg, table, seq, L, o, e, g=None):
+    """Mode-3 fill through the fastest available backend.
+
+    Returns (best_val, best_i, best_j, packed, packed_x, packed_y,
+    batch_axis); planes are [B, n, Lp] (XLA) or [n, B, Lpo] (Pallas).
+    """
+    if jax.default_backend() == "tpu" and g is not None and o <= 0 and e <= 0:
+        from . import pallas_poa, pallas_gap_local
+        from .poa_engine import _pallas_batch_plan, _shard_map_fill
+
+        smem_ok = dg.n * (dg.max_preds + 4) * 4 < 700_000
+        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
+            B = seq.shape[0]
+            mesh, (seq, L), _ = _pallas_batch_plan((seq, L))
+            fill = lambda s, l: pallas_gap_local.fill_gap_local_v2(
+                dg, table, s, l, int(o), int(e)
+            )
+            if mesh is not None:
+                fill = _shard_map_fill(mesh, fill, 2, (0, 0, 0, 1, 1, 1))
+            bv, bi, bj, pk, px, py = fill(seq, L)
+            return bv[:B], bi[:B], bj[:B], pk[:, :B], px[:, :B], py[:, :B], 1
+    out = _fill_gap_local(dg, table, seq, L, jnp.int32(o), jnp.int32(e))
+    return out + (0,)
+
+
 def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     dg = poa_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
@@ -471,18 +496,23 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
             states.append(st)
         return states
     if mode == 3:
-        out = _fill_gap_local(dg, table, seq, L, oj, ej)
-        score, best_i, best_j, packed, px, py = jax.device_get(out)
+        out = fill_gap_local_best(dg, table, seq, L, o, e, g)
+        baxis = out[6]
+        score, best_i, best_j, packed, px, py = jax.device_get(out[:6])
         states = []
         for b in range(B):
             lb = len(sequences[b])
             lefts = np.zeros(dg.n, dtype=np.int32)
             rights = np.full(dg.n, lb, dtype=np.int32)
-            st = _state_from_device(
-                score[b], best_i[b], best_j[b], packed[b], lefts, rights, lb
+            plane, plx, ply = (
+                (packed[:, b], px[:, b], py[:, b]) if baxis == 1
+                else (packed[b], px[b], py[b])
             )
-            st.path_x = _PackedPath(px[b], lefts)
-            st.path_y = _PackedPath(py[b], lefts)
+            st = _state_from_device(
+                score[b], best_i[b], best_j[b], plane, lefts, rights, lb
+            )
+            st.path_x = _PackedPath(plx, lefts)
+            st.path_y = _PackedPath(ply, lefts)
             states.append(st)
         return states
     raise ValueError(f"unsupported gap POA mode {mode}")

@@ -49,3 +49,35 @@ def test_gap_global_v2_bit_exact(example_paths, oe):
                     assert (pk[b, i, l:r] == got[3][i, b, l:r]).all(), (b, i)
                     assert (px[b, i, l:r] == got[4][i, b, l:r]).all(), (b, i)
                     assert (py[b, i, l:r] == got[5][i, b, l:r]).all(), (b, i)
+
+
+@pytest.mark.parametrize("oe", [(-4, -2), (0, -1)])
+def test_gap_local_v2_bit_exact(example_paths, oe):
+    from recgraph_tpu.ops import pallas_gap_local
+
+    o, e = oe
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(seqs[:8])
+    Lp = seq.shape[1]
+    ref = [
+        np.asarray(x)
+        for x in poa_gap_engine._fill_gap_local(
+            dg, table, seq, L, jnp.int32(o), jnp.int32(e)
+        )
+    ]
+    for ring16 in (True, False):
+        got = [
+            np.asarray(x)
+            for x in pallas_gap_local.fill_gap_local_v2(
+                dg, table, seq, L, o, e, Bt=8, interpret=True, ring16=ring16
+            )
+        ]
+        assert (ref[0] == got[0]).all()
+        assert (ref[1] == got[1]).all() and (ref[2] == got[2]).all()
+        for k in (3, 4, 5):
+            assert (ref[k] == got[k].transpose(1, 0, 2)[:, :, :Lp]).all(), k
