@@ -276,12 +276,13 @@ def _bench_child(platform, batch, iters, headline_only, q):
     q.put(buf.getvalue())
 
 
-def _run_guarded(batch, iters, timeout_s=540):
+def _run_guarded(batch, iters, timeout_s=900):
     """Run the bench in a child process with a watchdog.
 
     The dev TPU tunnel can wedge indefinitely; the driver must still get
     a JSON line.  On timeout/failure, re-run on the CPU backend
-    (headline only, small batch).
+    (headline only, small batch).  900 s covers a cold remote-compile
+    cache across the five benched kernels (~150-250 s warm).
     """
     import multiprocessing as mp
 
