@@ -439,13 +439,15 @@ LONG_READ_LP = 1024     # mode-0 reads at least this long use windowed rows
 _long_w_hint: dict[int, int] = {}
 
 
-def fill_global_long(dg, table, seq, L, bta, bta_max):
+def fill_global_long(dg, table, seq, L, bta, bta_max, g=None):
     """Mode-0 fill for long reads: windowed rows with a W ladder.
 
     Starts at the smallest W covering 2·bta plus drift slack (or the
     last W that worked for this graph) and doubles until no read's
     band overflows its window; at W >= Lp falls back to the exact
-    full-width fill.  Returns (score, last_row, last_col_abs,
+    full-width fill.  On TPU the windowed Pallas kernel
+    (pallas_poa_global_win) runs the ladder; the XLA windowed engine
+    is the CPU/fallback path.  Returns (score, last_row, last_col_abs,
     packed[B, n, W], lefts, rights, ws | None); ws None means the
     full-width plane.
     """
@@ -455,6 +457,30 @@ def fill_global_long(dg, table, seq, L, bta, bta_max):
         W = 256
         while W < 2 * bta_max + 64:
             W *= 2
+    if jax.default_backend() == "tpu" and g is not None:
+        from . import pallas_poa, pallas_poa_global_win
+
+        span = pallas_poa.max_pred_span(g)
+        smem_ok = dg.n * (dg.max_preds + 7) * 4 < 700_000
+        if span < 192 and smem_ok:
+            B = seq.shape[0]
+            mesh, (seq_p, L_p, bta_p), _ = _pallas_batch_plan((seq, L, bta))
+            Wp = W
+            while Wp < Lp:
+                fill = lambda s, l, b: pallas_poa_global_win.fill_global_win(
+                    dg, table, s, l, b, Wp, span
+                )
+                if mesh is not None:
+                    fill = _shard_map_fill(
+                        mesh, fill, 3, (0, 0, 0, 1, 0, 0, 0, 0)
+                    )
+                out = fill(seq_p, L_p, bta_p)
+                if not bool(jax.device_get(out[7].any())):
+                    _long_w_hint[dg.n] = Wp
+                    packed = jnp.moveaxis(out[3][:, :B], 0, 1)
+                    return (out[0][:B], out[1][:B], out[2][:B], packed,
+                            out[4][:B], out[5][:B], out[6][:B])
+                Wp *= 2
     while W < Lp:
         out = _fill_global_windowed(dg, table, seq, L, bta, W=W)
         if not bool(jax.device_get(out[7].any())):
@@ -713,7 +739,7 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
         bta = encode_read_aux(btas)
         if seq.shape[1] >= LONG_READ_LP:
             score, last_row, last_col, packed, lefts, rights, ws = (
-                fill_global_long(dg, table, seq, L, bta, max(btas))
+                fill_global_long(dg, table, seq, L, bta, max(btas), g)
             )
             score, last_row, last_col, packed, lefts, rights, ws = jax.device_get(
                 (score, last_row, last_col, packed, lefts, rights, ws)
@@ -846,7 +872,7 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
         bta = encode_read_aux(btas)
         if Lp >= LONG_READ_LP:
             score, last_row, last_col, packed, lefts, rights, ws = (
-                fill_global_long(dg, table, seq, L, bta, max(btas))
+                fill_global_long(dg, table, seq, L, bta, max(btas), g)
             )
         else:
             score, last_row, last_col, packed, lefts, rights, baxis = (
