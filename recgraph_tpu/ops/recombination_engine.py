@@ -186,7 +186,23 @@ def _path_argmax(A):
     return mx, arg
 
 
-def _split_search_fn(I):
+def _split_search_fn(I, Tc=None):
+    """Split-search scan factory.
+
+    ``Tc``: chunk width over the reverse-node axis.  The per-column
+    candidate plane is O(I^2); chunking evaluates it [B, I, Tc] at a
+    time and combines (max, first-flat-at-max, first-edge-at-max,
+    edge-any) across chunks — exactly the unchunked first-best
+    semantics (argmax picks the smallest flat index at the max; the
+    chunked min over per-chunk minima is the same index).  Bounds
+    memory for large graphs; Tc == I is the single-chunk fast case.
+    """
+    if Tc is None:
+        Tc = I
+    NC = -(-I // Tc)
+    Ipad = NC * Tc
+    BIG = jnp.int32(1 << 30)
+
     @jax.jit
     def run(cols, fmax, farg, vf, rmax, rarg, vr, penalty, diff_node, onedge,
             active, init_best):
@@ -201,25 +217,77 @@ def _split_search_fn(I):
         Returns (best f32[B], taken bool[B], fen, rsn, fp, rp, rec_col).
         """
         B, _, Lp = fmax.shape
+        kpad = Ipad - I
+        rmax_p = jnp.pad(rmax, ((0, 0), (0, kpad), (0, 0)))
+        rarg_p = jnp.pad(rarg, ((0, 0), (0, kpad), (0, 0)))
+        vr_p = jnp.pad(vr, ((0, 0), (0, kpad), (0, 0)))  # False pad: invalid
+        penalty_p = jnp.pad(penalty, ((0, 0), (0, kpad)))
+        diff_node_p = jnp.pad(diff_node, ((0, 0), (0, kpad)))
+        onedge_p = jnp.pad(onedge, ((0, 0), (0, kpad)))
+        iidx = jnp.arange(I, dtype=jnp.int32)
+        tidx = jnp.arange(Tc, dtype=jnp.int32)
 
         def step(carry, j):
             best, edge_state, taken, fen, rsn, fp, rp, col = carry
             fv = fmax[:, :, j].astype(jnp.float32)          # [B, I]
-            rv = rmax[:, :, j].astype(jnp.float32)
-            cand = fv[:, :, None] + rv[:, None, :] - penalty[None]
-            valid = (
-                diff_node[None]
-                & (farg[:, :, j][:, :, None] != rarg[:, :, j][:, None, :])
-                & vf[:, :, j][:, :, None]
-                & vr[:, :, j][:, None, :]
+            fa = farg[:, :, j]
+            vfj = vf[:, :, j]
+            rv_all = rmax_p[:, :, j]
+            ra_all = rarg_p[:, :, j]
+            vr_all = vr_p[:, :, j]
+
+            def chunk(c, cc):
+                bestv, bflat, beflat, beany = cc
+                k0 = c * Tc
+                rvc = jax.lax.dynamic_slice(rv_all, (0, k0), (B, Tc))
+                rac = jax.lax.dynamic_slice(ra_all, (0, k0), (B, Tc))
+                vrc = jax.lax.dynamic_slice(vr_all, (0, k0), (B, Tc))
+                penc = jax.lax.dynamic_slice(penalty_p, (0, k0), (I, Tc))
+                dnc = jax.lax.dynamic_slice(diff_node_p, (0, k0), (I, Tc))
+                onc = jax.lax.dynamic_slice(onedge_p, (0, k0), (I, Tc))
+                cand = (
+                    fv[:, :, None] + rvc[:, None, :].astype(jnp.float32)
+                    - penc[None]
+                )
+                valid = (
+                    dnc[None]
+                    & (fa[:, :, None] != rac[:, None, :])
+                    & vfj[:, :, None]
+                    & vrc[:, None, :]
+                )
+                cv = jnp.where(valid, cand, NEGF).reshape(B, I * Tc)
+                flatv = (
+                    iidx[:, None] * I + k0 + tidx[None, :]
+                ).reshape(1, I * Tc)
+                cmax = cv.max(axis=1)
+                atm = cv == cmax[:, None]
+                fmin = jnp.min(jnp.where(atm, flatv, BIG), axis=1)
+                ate = atm & onc.reshape(1, I * Tc)
+                eany = ate.any(axis=1)
+                femin = jnp.min(jnp.where(ate, flatv, BIG), axis=1)
+                gtc = cmax > bestv
+                eqc = cmax == bestv
+                bflat = jnp.where(
+                    gtc, fmin, jnp.where(eqc, jnp.minimum(bflat, fmin), bflat)
+                )
+                beflat = jnp.where(
+                    gtc, femin,
+                    jnp.where(eqc, jnp.minimum(beflat, femin), beflat),
+                )
+                beany = jnp.where(gtc, eany, beany | (eqc & eany))
+                return (jnp.maximum(bestv, cmax), bflat, beflat, beany)
+
+            col_max, flat_plain, flat_edge, edge_any = jax.lax.fori_loop(
+                0, NC, chunk,
+                (
+                    jnp.full((B,), NEGF),
+                    jnp.full((B,), BIG),
+                    jnp.full((B,), BIG),
+                    jnp.zeros((B,), bool),
+                ),
             )
-            cand_v = jnp.where(valid, cand, NEGF).reshape(B, I * I)
-            col_max = cand_v.max(axis=1)
-            at_max = cand_v == col_max[:, None]
-            at_edge = at_max & onedge.reshape(1, I * I)
-            edge_any = at_edge.any(axis=1)
-            flat_edge = at_edge.argmax(axis=1)
-            flat_plain = at_max.argmax(axis=1)
+            flat_edge = jnp.where(edge_any, flat_edge, 0)
+            flat_plain = jnp.minimum(flat_plain, I * I - 1)
             gt = col_max > best
             eq = col_max == best
             take = active[:, j] & (gt | (eq & ~edge_state & edge_any))
@@ -251,7 +319,23 @@ def _split_search_fn(I):
     return run
 
 
-_split_cache: dict[int, object] = {}
+_split_cache: dict[tuple, object] = {}
+
+
+def _get_split(I, B):
+    """Split scan for I interior rows at batch B; chunks the candidate
+    plane when the single-chunk form would exceed ~256 MB."""
+    plane = 4 * B * I * I
+    if plane <= (1 << 28):
+        Tc = I
+    else:
+        Tc = max(128, ((1 << 28) // (4 * B * I)) // 128 * 128)
+    key = (I, Tc)
+    split = _split_cache.get(key)
+    if split is None:
+        split = _split_search_fn(I, Tc)
+        _split_cache[key] = split
+    return split
 
 
 @jax.jit
@@ -420,15 +504,11 @@ def run_batch(
     penalty = jnp.asarray(penalty)
     paths_on = jnp.asarray(g.paths_nodes)
 
-    split = _split_cache.get(I)
-    if split is None:
-        split = _split_search_fn(I)
-        _split_cache[I] = split
-
     records: list[GafRecord] = []
     Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
+    split = _get_split(I, min(chunk, len(sequences)))
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
@@ -693,15 +773,11 @@ def run_batch_walks(
     rep_r, pred_r = pathwise_meta_rev(rg)
     pred_r_full = jnp.asarray(pred_r)                      # [n, P] successors
 
-    split = _split_cache.get(I)
-    if split is None:
-        split = _split_search_fn(I)
-        _split_cache[I] = split
-
     records: list[GafRecord] = []
     Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
+    split = _get_split(I, min(chunk, len(sequences)))
     W = n + Lp_all + 4
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]

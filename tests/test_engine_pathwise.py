@@ -141,3 +141,19 @@ def test_split_search_pruning_exact(corpus, monkeypatch):
     )
     full = recombination_engine.run_batch_walks(8, seqs, g, rg, sm, 4, 0.1, 0.3)
     assert [r.to_string() for r in pruned] == [r.to_string() for r in full]
+
+
+def test_split_search_chunked_exact(corpus, monkeypatch):
+    """The chunked candidate plane (large-graph path) must reproduce
+    the single-chunk scan exactly, including first-best/edge ties."""
+    seqs, names, g, sm = corpus
+    rg = g.reverse()
+    full = recombination_engine.run_batch_walks(8, seqs, g, rg, sm, 4, 0.1, 0.5)
+    monkeypatch.setattr(
+        recombination_engine, "_get_split",
+        lambda I, B: recombination_engine._split_search_fn(I, Tc=128),
+    )
+    chunked = recombination_engine.run_batch_walks(
+        8, seqs, g, rg, sm, 4, 0.1, 0.5
+    )
+    assert [r.to_string() for r in chunked] == [r.to_string() for r in full]
