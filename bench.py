@@ -162,6 +162,34 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
     except Exception as e:
         print(f"# mode0 bench failed: {e}", file=sys.stderr)
 
+    # ---- mode 1 + HOXD70 (BASELINE config PR2; int32 ring path) ----
+    try:
+        smh = ScoreMatrix.create("HOXD70.mtx", 2, -4)
+        tableh = jnp.asarray(smh.table, dtype=jnp.int32)
+
+        def chained_hoxd(k):
+            @jax.jit
+            def fn(seq, L):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    out = poa_engine.fill_local_best(
+                        dg, tableh, s, L, g, ring16=False
+                    )
+                    tot = tot + jnp.sum(out[0]) + out[3].reshape(-1)[12345]
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq, L))
+
+        dth = slope_time(chained_hoxd, iters)
+        line(
+            "local_poa_hoxd70_throughput", cells / dth / 1e9, base_avx2,
+            f"mode1+HOXD70 batch={batch} per-fill={dth*1e3:.1f}ms",
+        )
+    except Exception as e:
+        print(f"# mode1+HOXD bench failed: {e}", file=sys.stderr)
+
     # ---- mode 2: affine-gap global POA fill ----
     try:
         from recgraph_tpu.ops import poa_gap_engine
