@@ -350,9 +350,22 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
         sink = (
             open(opts.out_file, "w") if nproc > 1 else contextlib.nullcontext(sys.stdout)
         )
+        results = None
+        if opts.engine == "jax":
+            try:
+                from ..ops import pathwise_gap_engine
+
+                results = pathwise_gap_engine.run_batch(
+                    mode, sequences, g, sm, o, e
+                )
+            except ValueError as exc:  # graphs the reference also rejects
+                print(f"mode {mode}: device path unavailable ({exc}); "
+                      "using oracle", file=sys.stderr)
         with sink as fh:
             for i, seq in enumerate(sequences):
-                if mode == 6:
+                if results is not None:
+                    best_path, cigar = results[i]
+                elif mode == 6:
                     best_path, cigar = pathwise_gap.exec_gap_global(seq, g, sm, o, e)
                 else:
                     best_path, cigar = pathwise_gap.exec_gap_semiglobal(seq, g, sm, o, e)

@@ -1,0 +1,771 @@
+"""Batched device fill for experimental pathwise affine-gap modes 6/7.
+
+Unlike modes 4/5 (dense absolute scores, ops/pathwise_engine.py), modes
+6/7 must reproduce the reference's alpha/delta *compressed* matrices
+bit-for-bit: the delta form is observable in its output (gap-run
+extension during traceback compares delta-form dpm vs x/y entries
+directly, pathwise_alignment_output.rs:272,289, and the mask_q filter
+quirk at pathwise_alignment_gap.rs:336-343 leaks deltas between
+groups).  So this engine computes dpm/x/y exactly as the scalar oracle
+(oracle/pathwise_gap.fill) does, in delta form, on device.
+
+Design (TPU-first):
+
+- one `lax.scan` over DP rows carrying dpm/x/y as int32[n, B, P, Lp]
+  (leading-row layout so the per-row dynamic_update_slice is in-place);
+- ~97% of rows (non-start rows + single-pred node starts whose group
+  representative is the row alpha) run a closed-form vector program:
+  the in-row affine coupling collapses to one (max,+) cummax chain on
+  the alpha lane (chaining through intermediate dpm cells never beats
+  direct extension for o <= 0), and the delta-lane copies are pure
+  selections replayed from the alpha lane's selectors — the same
+  program as the oracle's `_fill_row_vec`, vectorised over the batch;
+- the rare multi-pred / re-alpha'd rows (32 of 1331 on the example
+  graph) run the literal per-column program — per-pred-block
+  sequential lane overwrites, the mask_q quirk, and the multi-alpha
+  delta fixup — as an inner `lax.scan` over columns under a scalar
+  `lax.cond`, so easy rows never pay for it;
+- block metadata (pred row, representative lane, member masks,
+  first-occurrence flags and final member sets for the insertion-order
+  fixup) is precompiled on host by :func:`gap_meta`.
+
+Traceback stays on host (modes 6/7 print a CIGAR, not GAF —
+main.rs:271-288): the device extracts the four planes the walk
+actually reads (dpm on the best path and on each row's alpha lane, x/y
+on the best path) and :func:`walk_gap_planes` replays the oracle's
+delta-form walk over them.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.pathgraph import PathGraph
+from ..oracle.gaf_emit import build_cigar
+from ..scoring import ScoreMatrix
+
+NEG = -(1 << 28)
+
+
+# ---------------------------------------------------------------------------
+# host metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GapMeta:
+    """Per-row static metadata for the device fill (all numpy)."""
+
+    n: int
+    P: int
+    maxb: int
+    codes: np.ndarray          # int32[n]
+    alphas: np.ndarray         # int32[n]
+    node_start: np.ndarray     # bool[n]
+    # easy-row program (interior columns)
+    easy: np.ndarray           # bool[n]
+    pr: np.ndarray             # int32[n]  predecessor row
+    eap: np.ndarray            # int32[n]  predecessor alpha lane
+    edelta: np.ndarray         # bool[n]   pred alpha outside common set
+    emask: np.ndarray          # bool[n,P] common minus row alpha
+    # first-column program for non-start rows (mode 6)
+    fap: np.ndarray            # int32[n]  alphas[i-1]
+    fcommon_ap: np.ndarray     # bool[n]   common[i-1-alpha]
+    fmask: np.ndarray          # bool[n,P] (pn[i] & pn[i-1]) minus alpha
+    # hard-row / node-start block program
+    bvalid: np.ndarray         # bool[n,MB]
+    bpred: np.ndarray          # int32[n,MB]
+    bap: np.ndarray            # int32[n,MB] pred alpha
+    btb: np.ndarray            # int32[n,MB] written ("temp alpha") lane
+    bdelta: np.ndarray         # bool[n,MB]  pred alpha outside common
+    bcase1: np.ndarray         # bool[n,MB]  rep case (ap in common)
+    bmask: np.ndarray          # bool[n,MB,P] common minus tb
+    bmaskq: np.ndarray         # bool[n,MB,P] common minus alpha (mask_q quirk)
+    bfirst: np.ndarray         # bool[n,MB]  first slot with this tb
+    bfixmem: np.ndarray        # bool[n,MB,P] final members minus tb (fixup)
+
+
+def gap_meta(g: PathGraph) -> GapMeta:
+    """Row classification + padded block metadata (see module docstring).
+
+    Raises ``ValueError`` for graphs the reference itself rejects
+    (a predecessor block sharing no path with the node) so callers can
+    fall back to the scalar oracle, which raises the same way.
+    """
+    n, P = g.n, g.paths_number
+    pn = g.paths_nodes
+    alphas = np.asarray(g.alphas, dtype=np.int32)
+    node_start = np.asarray(g.node_start, dtype=bool)
+    codes = np.asarray(g.codes, dtype=np.int32)
+
+    maxb = 1
+    rows_blocks: list[list] = [[] for _ in range(n)]
+    for i in range(1, n - 1):
+        if node_start[i]:
+            rows_blocks[i] = g.preds_and_paths(i)
+            maxb = max(maxb, len(rows_blocks[i]))
+
+    easy = np.zeros(n, dtype=bool)
+    pr = np.zeros(n, dtype=np.int32)
+    eap = np.zeros(n, dtype=np.int32)
+    edelta = np.zeros(n, dtype=bool)
+    emask = np.zeros((n, P), dtype=bool)
+    fap = np.zeros(n, dtype=np.int32)
+    fcommon_ap = np.zeros(n, dtype=bool)
+    fmask = np.zeros((n, P), dtype=bool)
+    MB = maxb
+    bvalid = np.zeros((n, MB), dtype=bool)
+    bpred = np.zeros((n, MB), dtype=np.int32)
+    bap = np.zeros((n, MB), dtype=np.int32)
+    btb = np.zeros((n, MB), dtype=np.int32)
+    bdelta = np.zeros((n, MB), dtype=bool)
+    bcase1 = np.zeros((n, MB), dtype=bool)
+    bmask = np.zeros((n, MB, P), dtype=bool)
+    bmaskq = np.zeros((n, MB, P), dtype=bool)
+    bfirst = np.zeros((n, MB), dtype=bool)
+    bfixmem = np.zeros((n, MB, P), dtype=bool)
+
+    for i in range(1, n - 1):
+        ai = int(alphas[i])
+        if not node_start[i]:
+            common = pn[i] & pn[i - 1]
+            ap = int(alphas[i - 1])
+            easy[i] = True
+            pr[i] = i - 1
+            eap[i] = ap
+            edelta[i] = not common[ap] if ap < P else True
+            emask[i] = common.copy()
+            emask[i, ai] = False
+            fap[i] = ap
+            fcommon_ap[i] = common[ap] if ap < P else False
+            fmask[i] = emask[i]
+            continue
+
+        blocks = rows_blocks[i]
+        # block metadata (used by the first-column program for every
+        # node-start row, and by the interior program for hard rows)
+        members_of: dict[int, np.ndarray] = {}
+        order: list[int] = []
+        for s, (p, p_paths) in enumerate(blocks):
+            common = pn[i] & p_paths
+            if not common.any():
+                raise ValueError(f"empty common-paths set at row {i}")
+            ap = int(alphas[p])
+            case1 = ap < P and bool(common[ap])
+            if case1:
+                tb = ap
+            else:
+                tb = ai if common[ai] else int(np.flatnonzero(common)[0])
+            bvalid[i, s] = True
+            bpred[i, s] = p
+            bap[i, s] = ap
+            btb[i, s] = tb
+            bdelta[i, s] = not case1
+            bcase1[i, s] = case1
+            bmask[i, s] = common.copy()
+            bmask[i, s, tb] = False
+            bmaskq[i, s] = common.copy()
+            bmaskq[i, s, ai] = False
+            if tb not in members_of:
+                order.append(tb)
+                bfirst[i, s] = True
+            members_of[tb] = common
+        for s in range(len(blocks)):
+            if bfirst[i, s]:
+                m = members_of[int(btb[i, s])].copy()
+                m[int(btb[i, s])] = False
+                bfixmem[i, s] = m
+
+        if len(blocks) == 1:
+            p, p_paths = blocks[0]
+            common = pn[i] & p_paths
+            ap = int(alphas[p])
+            if ap < P and (
+                (common[ap] and ap == ai) or (not common[ap] and common[ai])
+            ):
+                easy[i] = True
+                pr[i] = p
+                eap[i] = ap
+                edelta[i] = not common[ap]
+                emask[i] = common.copy()
+                emask[i, ai] = False
+
+    return GapMeta(
+        n=n, P=P, maxb=MB, codes=codes, alphas=alphas, node_start=node_start,
+        easy=easy, pr=pr, eap=eap, edelta=edelta, emask=emask,
+        fap=fap, fcommon_ap=fcommon_ap, fmask=fmask,
+        bvalid=bvalid, bpred=bpred, bap=bap, btb=btb, bdelta=bdelta,
+        bcase1=bcase1, bmask=bmask, bmaskq=bmaskq, bfirst=bfirst,
+        bfixmem=bfixmem,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device fill
+# ---------------------------------------------------------------------------
+
+
+def _lane(v, a):
+    """v[:, a] for a scalar (possibly traced) lane index a; v: [B, P]."""
+    return jnp.take(v, a, axis=1)
+
+
+def _onehot(a, P):
+    return jnp.arange(P, dtype=jnp.int32) == a
+
+
+@functools.partial(jax.jit, static_argnames=("maxb", "semiglobal"))
+def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
+              maxb, semiglobal):
+    """Scan-over-rows delta-form fill.
+
+    Returns (dpm, x, y) each int32[n, B, P, Lp] matching the oracle's
+    [n, L, P] matrices (transposed, batched) exactly on real columns.
+    """
+    (easy, pr, eap, edelta, emask, fap, fcommon_ap, fmask,
+     bvalid, bpred, bap, btb, bdelta, bcase1, bmask, bmaskq, bfirst,
+     bfixmem) = xs_meta
+    n = codes.shape[0]
+    P = emask.shape[1]
+    B, Lp = seq.shape
+    MB = maxb
+    jcol = jnp.arange(Lp, dtype=jnp.int32)
+    lane_i = jnp.arange(P, dtype=jnp.int32)
+    o = jnp.int32(o)
+    e = jnp.int32(e)
+
+    def fc_nonstart(Dm, X, i, ai, args):
+        """_fill_first_col_gap non-start branch (gap.rs:35-75); x0 == d0."""
+        ap, cap, maskc = args
+        Xp0 = jax.lax.dynamic_slice(X, (i - 1, 0, 0, 0), (1, B, P, 1))[0, :, :, 0]
+        xp_ai = _lane(Xp0, ai)
+        xp_ap = _lane(Xp0, ap)
+        # common[ap] branch vs not, i==1 special in both
+        x_ai_t = jnp.where(i == 1, o + e, xp_ai + e)
+        x_ai_f = jnp.where(i == 1, o + e, xp_ai + xp_ap + e)
+        x_ai = jnp.where(cap, x_ai_t, x_ai_f)
+        xm = jnp.where(cap, Xp0, Xp0 - xp_ai[:, None])
+        x0 = jnp.where(maskc[None, :], xm, 0)
+        x0 = jnp.where((lane_i == ai)[None, :], x_ai[:, None], x0)
+        return x0
+
+    def fc_start(Dm, X, i, ai, hard_ops):
+        """_fill_first_col_gap node-start branch (gap.rs:76-147); x0 == d0."""
+        (valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = (
+            hard_ops
+        )
+        x0 = jnp.zeros((B, P), jnp.int32)
+        for s in range(MB):
+            Xp0 = jax.lax.dynamic_slice(
+                X, (pred[s], 0, 0, 0), (1, B, P, 1)
+            )[0, :, :, 0]
+            xp_tb = _lane(Xp0, tb[s])
+            xp_ap = _lane(Xp0, ap[s])
+            d_s = delta[s].astype(jnp.int32)
+            x_tb = jnp.where(pred[s] == 0, o + e, xp_tb + d_s * xp_ap + e)
+            xm = Xp0 - d_s[None] * xp_tb[:, None]
+            w = valid[s]
+            x0 = jnp.where(w & maskb[s][None, :], xm, x0)
+            x0 = jnp.where(w & (lane_i == tb[s])[None, :], x_tb[:, None], x0)
+        # insertion-order fixup over x (dpm mirrors x; gap.rs:133-147)
+        for s in range(MB):
+            fire = valid[s] & first[s] & (tb[s] != ai)
+            va = _lane(x0, tb[s]) - _lane(x0, ai)
+            x0 = jnp.where(
+                fire & (lane_i == tb[s])[None, :], va[:, None], x0
+            )
+            x0 = jnp.where(fire & fixmem[s][None, :], x0 + va[:, None], x0)
+        return x0
+
+    def easy_row(Dm, X, Y, i, ai, x0, args):
+        """The closed-form vector row (oracle _fill_row_vec), batched."""
+        p, ap, delta, mask = args
+        prevD = jax.lax.dynamic_slice(Dm, (p, 0, 0, 0), (1, B, P, Lp))[0]
+        prevY = jax.lax.dynamic_slice(Y, (p, 0, 0, 0), (1, B, P, Lp))[0]
+        code_i = codes[i]
+        sub = table[code_i][seq]                            # [B, Lp]
+        d32 = delta.astype(jnp.int32)
+        pD_ap = jnp.take(prevD, ap, axis=1)                 # [B, Lp]
+        pD_ai = jnp.take(prevD, ai, axis=1)
+        pY_ap = jnp.take(prevY, ap, axis=1)
+        pY_ai = jnp.take(prevY, ai, axis=1)
+
+        u_y = pY_ap + d32 * pY_ai + e
+        u_dpm = pD_ap + d32 * pD_ai + o + e
+        usel = u_dpm >= u_y
+        y_a = jnp.where(usel, u_dpm, u_y)
+        Ym = jnp.where(
+            usel[:, None, :],
+            prevD - d32 * pD_ai[:, None, :],
+            prevY - d32 * pY_ai[:, None, :],
+        )                                                   # mask lanes
+
+        # alpha lane closed form
+        base = pD_ap + d32 * pD_ai
+        d_col = jnp.roll(base, 1, axis=1) + sub             # col 0 unused
+        const = jnp.maximum(d_col, y_a)
+        x0_ai = _lane(x0, ai)
+        q = const - e * jcol[None, :]
+        q = q.at[:, 0].set(jnp.maximum(x0_ai, x0_ai - o))   # placeholder
+        dpm0_ai = x0_ai  # dpm col0 == x col0 (mode 6) or 0 (mode 7)
+        q = q.at[:, 0].set(jnp.maximum(dpm0_ai, x0_ai - o))
+        M = jax.lax.cummax(q, axis=1)
+        x_a = o + e * jcol[None, :] + jnp.roll(M, 1, axis=1)
+        x_a = x_a.at[:, 0].set(x0_ai)
+        dpm_a = jnp.maximum(const, x_a)
+        dpm_a = dpm_a.at[:, 0].set(dpm0_ai)
+        lsel = dpm_a + o >= x_a                             # col t -> sel t+1
+        dsel = jnp.where(dpm_a == d_col, 0, jnp.where(dpm_a == y_a, 1, 2))
+
+        # mask lanes
+        Dmn = prevD - d32 * pD_ai[:, None, :]
+        Dm_sh = jnp.roll(Dmn, 1, axis=2)
+        Cval = jnp.where((dsel == 0)[:, None, :], Dm_sh, Ym)
+        Cval = Cval.at[:, :, 0].set(x0)                     # dpm col0 (mask)
+        inject = jnp.roll(lsel, 1, axis=1) & (jnp.roll(dsel, 1, axis=1) != 2)
+        inject = inject.at[:, 1].set(lsel[:, 0])
+        inject = inject.at[:, 0].set(False)
+        src = jax.lax.cummax(jnp.where(inject, jcol[None, :], 0), axis=1)
+        x_m = jnp.where(
+            (src == 0)[:, None, :],
+            x0[:, :, None],
+            jnp.take_along_axis(
+                Cval, jnp.maximum(src - 1, 0)[:, None, :], axis=2
+            ),
+        )
+        dpm_m = jnp.where(
+            (dsel == 0)[:, None, :], Dm_sh,
+            jnp.where((dsel == 1)[:, None, :], Ym, x_m),
+        )
+
+        interior = (jcol >= 1)[None, None, :]
+        la = (lane_i == ai)[None, :, None]
+        lm = mask[None, :, None]
+        Yrow = jnp.where(
+            interior & la, y_a[:, None, :],
+            jnp.where(interior & lm, Ym, 0),
+        )
+        Xrow = jnp.where(
+            interior & la, x_a[:, None, :],
+            jnp.where(interior & lm, x_m, jnp.where(~interior, x0[:, :, None], 0)),
+        )
+        Drow = jnp.where(
+            interior & la, dpm_a[:, None, :],
+            jnp.where(interior & lm, dpm_m, jnp.where(~interior, x0[:, :, None], 0)),
+        )
+        return Yrow, Xrow, Drow
+
+    def hard_row(Dm, X, Y, i, ai, x0, hard_ops):
+        """Literal per-column program (gap.rs:150-539) as a j-scan."""
+        (valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = (
+            hard_ops
+        )
+        code_i = codes[i]
+        sub = table[code_i][seq]                            # [B, Lp]
+        Dp = jnp.stack([
+            jax.lax.dynamic_slice(Dm, (pred[s], 0, 0, 0), (1, B, P, Lp))[0]
+            for s in range(MB)
+        ])                                                  # [MB, B, P, Lp]
+        Yp = jnp.stack([
+            jax.lax.dynamic_slice(Y, (pred[s], 0, 0, 0), (1, B, P, Lp))[0]
+            for s in range(MB)
+        ])
+
+        def col(carry, j):
+            x_row, d_row = carry                            # [B, P]
+            y_c = jnp.zeros((B, P), jnp.int32)
+            x_c = jnp.zeros((B, P), jnp.int32)
+            d_c = jnp.zeros((B, P), jnp.int32)
+            sub_j = jax.lax.dynamic_slice(sub, (0, j), (B, 1))[:, 0]
+            for s in range(MB):
+                Dp_j = jax.lax.dynamic_slice(
+                    Dp, (s, 0, 0, j), (1, B, P, 1))[0, :, :, 0]
+                Yp_j = jax.lax.dynamic_slice(
+                    Yp, (s, 0, 0, j), (1, B, P, 1))[0, :, :, 0]
+                Dp_jm1 = jax.lax.dynamic_slice(
+                    Dp, (s, 0, 0, j - 1), (1, B, P, 1))[0, :, :, 0]
+                w = valid[s]
+                d_s = delta[s].astype(jnp.int32)
+                tb_s, ap_s = tb[s], ap[s]
+                tb_hot = (lane_i == tb_s)[None, :]
+                # U / y
+                u_y = _lane(Yp_j, ap_s) + d_s * _lane(Yp_j, tb_s) + e
+                u_dpm = _lane(Dp_j, ap_s) + d_s * _lane(Dp_j, tb_s) + o + e
+                usel = u_dpm >= u_y                         # [B]
+                y_from_d = Dp_j - d_s * _lane(Dp_j, tb_s)[:, None]
+                y_from_y = Yp_j - d_s * _lane(Yp_j, tb_s)[:, None]
+                elsemask = jnp.where(case1[s], maskq[s], maskb[s])
+                y_c = jnp.where(
+                    w & usel[:, None] & maskb[s][None, :], y_from_d, y_c
+                )
+                y_c = jnp.where(
+                    w & ~usel[:, None] & elsemask[None, :], y_from_y, y_c
+                )
+                u = jnp.where(usel, u_dpm, u_y)
+                y_c = jnp.where(w & tb_hot, u[:, None], y_c)
+                # L / x (reads the in-row carry)
+                nd = (tb_s != ai).astype(jnp.int32)
+                l_x = _lane(x_row, tb_s) + nd * _lane(x_row, ai) + e
+                l_dpm = _lane(d_row, tb_s) + nd * _lane(d_row, ai) + o + e
+                lsel = l_dpm >= l_x
+                x_from_d = d_row - nd * _lane(d_row, tb_s)[:, None]
+                x_from_x = x_row - nd * _lane(x_row, tb_s)[:, None]
+                x_c = jnp.where(
+                    w & lsel[:, None] & maskb[s][None, :], x_from_d, x_c
+                )
+                x_c = jnp.where(
+                    w & ~lsel[:, None] & maskb[s][None, :], x_from_x, x_c
+                )
+                l = jnp.where(lsel, l_dpm, l_x)
+                x_c = jnp.where(w & tb_hot, l[:, None], x_c)
+                # D / dpm
+                d = _lane(Dp_jm1, ap_s) + d_s * _lane(Dp_jm1, tb_s) + sub_j
+                mx = jnp.maximum(jnp.maximum(d, u), l)
+                is_d = mx == d
+                is_u = ~is_d & (mx == u)
+                d_from_d = Dp_jm1 - d_s * _lane(Dp_jm1, tb_s)[:, None]
+                dm = jnp.where(
+                    is_d[:, None], d_from_d,
+                    jnp.where(is_u[:, None], y_c, x_c),
+                )
+                d_c = jnp.where(w & maskb[s][None, :], dm, d_c)
+                d_c = jnp.where(w & tb_hot, mx[:, None], d_c)
+            # multi-alpha fixup on all three (gap.rs:521-537)
+            for s in range(MB):
+                fire = valid[s] & first[s] & (tb[s] != ai)
+                hot = (lane_i == tb[s])[None, :]
+                mem = fixmem[s][None, :]
+                for M_ in ("d", "x", "y"):
+                    M = {"d": d_c, "x": x_c, "y": y_c}[M_]
+                    va = _lane(M, tb[s]) - _lane(M, ai)
+                    M = jnp.where(fire & hot, va[:, None], M)
+                    M = jnp.where(fire & mem, M + va[:, None], M)
+                    if M_ == "d":
+                        d_c = M
+                    elif M_ == "x":
+                        x_c = M
+                    else:
+                        y_c = M
+            return (x_c, d_c), (y_c, x_c, d_c)
+
+        (xf, df), (ys, xs_, ds) = jax.lax.scan(
+            col, (x0, x0), jnp.arange(1, Lp, dtype=jnp.int32)
+        )
+        # assemble rows: col 0 = (0, x0, x0), cols 1.. from the scan
+        Yrow = jnp.concatenate(
+            [jnp.zeros((B, P, 1), jnp.int32), jnp.moveaxis(ys, 0, 2)], axis=2
+        )
+        Xrow = jnp.concatenate(
+            [x0[:, :, None], jnp.moveaxis(xs_, 0, 2)], axis=2
+        )
+        Drow = jnp.concatenate(
+            [x0[:, :, None], jnp.moveaxis(ds, 0, 2)], axis=2
+        )
+        return Yrow, Xrow, Drow
+
+    def step(carry, xs):
+        Dm, X, Y = carry
+        (i, easy_i, pr_i, eap_i, edelta_i, emask_i, fap_i, fcap_i, fmask_i,
+         valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = xs
+        ai = alphas[i]
+        hard_ops = (valid, pred, ap, tb, delta, case1, maskb, maskq, first,
+                    fixmem)
+        if semiglobal:
+            x0 = jnp.zeros((B, P), jnp.int32)
+        else:
+            x0 = jax.lax.cond(
+                node_start[i],
+                lambda: fc_start(Dm, X, i, ai, hard_ops),
+                lambda: fc_nonstart(Dm, X, i, ai, (fap_i, fcap_i, fmask_i)),
+            )
+        Yrow, Xrow, Drow = jax.lax.cond(
+            easy_i,
+            lambda: easy_row(Dm, X, Y, i, ai, x0,
+                             (pr_i, eap_i, edelta_i, emask_i)),
+            lambda: hard_row(Dm, X, Y, i, ai, x0, hard_ops),
+        )
+        Dm = jax.lax.dynamic_update_slice(Dm, Drow[None], (i, 0, 0, 0))
+        X = jax.lax.dynamic_update_slice(X, Xrow[None], (i, 0, 0, 0))
+        Y = jax.lax.dynamic_update_slice(Y, Yrow[None], (i, 0, 0, 0))
+        return (Dm, X, Y), None
+
+    Dm0 = jnp.zeros((n, B, P, Lp), jnp.int32)
+    X0 = jnp.zeros((n, B, P, Lp), jnp.int32)
+    Y0 = jnp.zeros((n, B, P, Lp), jnp.int32)
+    # row 0: open+extend ladder on the row-0 alpha lane (gap.rs:23-33)
+    a0 = alphas[0]
+    ladder = (o + e * jcol) * (jcol >= 1)
+    row0 = jnp.where(
+        (lane_i == a0)[None, :, None] & (jcol >= 1)[None, None, :],
+        jnp.broadcast_to(ladder[None, None, :], (B, P, Lp)), 0,
+    )
+    Y0 = Y0.at[0].set(row0)
+    Dm0 = Dm0.at[0].set(row0)
+
+    rows = jnp.arange(1, n - 1, dtype=jnp.int32)
+    sl = slice(1, n - 1)
+    xs = (rows, easy[sl], pr[sl], eap[sl], edelta[sl], emask[sl], fap[sl],
+          fcommon_ap[sl], fmask[sl], bvalid[sl], bpred[sl], bap[sl], btb[sl],
+          bdelta[sl], bcase1[sl], bmask[sl], bmaskq[sl], bfirst[sl],
+          bfixmem[sl])
+    (Dm, X, Y), _ = jax.lax.scan(step, (Dm0, X0, Y0), xs)
+    return Dm, X, Y
+
+
+def fill_gap_device(g: PathGraph, sm: ScoreMatrix, seq, o: int, e: int,
+                    semiglobal: bool, meta: GapMeta | None = None):
+    """Device fill for modes 6/7; seq is the encoded batch int32[B, Lp].
+
+    Returns (dpm, x, y) int32[n, B, P, Lp] device arrays, bit-identical
+    (as int32) to the oracle's delta-form matrices on real columns.
+    """
+    if meta is None:
+        meta = gap_meta(g)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    xs_meta = tuple(
+        jnp.asarray(a) for a in (
+            meta.easy, meta.pr, meta.eap, meta.edelta, meta.emask, meta.fap,
+            meta.fcommon_ap, meta.fmask, meta.bvalid, meta.bpred, meta.bap,
+            meta.btb, meta.bdelta, meta.bcase1, meta.bmask, meta.bmaskq,
+            meta.bfirst, meta.bfixmem,
+        )
+    )
+    return _fill_gap(
+        xs_meta, jnp.asarray(meta.codes), jnp.asarray(meta.alphas),
+        jnp.asarray(meta.node_start), table, seq, o, e,
+        maxb=meta.maxb, semiglobal=semiglobal,
+    )
+
+
+# ---------------------------------------------------------------------------
+# plane extraction + host traceback (delta-form walk over 4 planes)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def extract_gap_planes(Dm, X, Y, alphas, bp):
+    """The four planes the walk reads, per read.
+
+    Dm/X/Y: int32[n, B, P, Lp]; bp: int32[B] best path per read.
+    Returns (dpm_bp, dpm_al, x_bp, y_bp) each int32[B, n, Lp]:
+    dpm_al[b, i] is dpm on row i's alpha lane (abs_at's rebase term);
+    the others are the best-path lanes (delta form, as the reference
+    walks them — pathwise_alignment_output.rs:207-306).
+    """
+    idx_bp = bp[None, :, None, None]                       # [1, B, 1, 1]
+    d_bp = jnp.take_along_axis(Dm, idx_bp, axis=2)[:, :, 0]
+    x_bp = jnp.take_along_axis(X, idx_bp, axis=2)[:, :, 0]
+    y_bp = jnp.take_along_axis(Y, idx_bp, axis=2)[:, :, 0]
+    idx_al = alphas[:, None, None, None]                   # [n, 1, 1, 1]
+    d_al = jnp.take_along_axis(Dm, idx_al, axis=2)[:, :, 0]
+    return (jnp.moveaxis(d_bp, 0, 1), jnp.moveaxis(d_al, 0, 1),
+            jnp.moveaxis(x_bp, 0, 1), jnp.moveaxis(y_bp, 0, 1))
+
+
+@jax.jit
+def final_gap_column(Dm, L):
+    """dpm[:, :, :, L-1] per read -> int32[B, n, P]."""
+    idx = (L - 1)[None, :, None, None]
+    col = jnp.take_along_axis(Dm, idx, axis=3)[:, :, :, 0]  # [n, B, P]
+    return jnp.moveaxis(col, 0, 1)
+
+
+def _pred_on_path(g: PathGraph, i: int, bp: int):
+    """Last pred block of row i covering path bp, or None (the
+    reference's `predecessor` loop keeps the last match)."""
+    pred = None
+    for p, paths in g.preds_and_paths(i):
+        if paths[bp]:
+            pred = p
+    return pred
+
+
+def walk_gap_planes(planes_b, g: PathGraph, bp: int, semiglobal: bool,
+                    end_node: int) -> str:
+    """build_alignment_gap / _semiglobal_gap over the extracted planes
+    (pathwise_alignment_output.rs:186-451), including the delta-form
+    gap-run comparisons and mode 6's no-pred trailing-U tail."""
+    dpm_bp, dpm_al, x_bp, y_bp = planes_b
+    alphas = g.alphas
+    nwp = g.node_start
+
+    def abs_at(ii: int, jj: int) -> int:
+        v = int(dpm_bp[ii, jj])
+        if alphas[ii] != bp:
+            v += int(dpm_al[ii, jj])
+        return v
+
+    cigar: list[str] = []
+    if semiglobal:
+        i = end_node
+    else:
+        i = 0
+        for node, paths in g.preds_and_paths(g.n - 1):
+            if paths[bp]:
+                i = node
+    j = dpm_bp.shape[1] - 1
+
+    while i != 0 and j != 0:
+        curr_score = abs_at(i, j)
+        predecessor = None
+        if not nwp[i]:
+            d = abs_at(i - 1, j - 1)
+            u = abs_at(i - 1, j)
+            l = abs_at(i, j - 1)
+        else:
+            d = u = l = 0
+            predecessor = _pred_on_path(g, i, bp)
+            if predecessor is not None:
+                d = abs_at(predecessor, j - 1)
+                u = abs_at(predecessor, j)
+                l = abs_at(i, j - 1)
+        mx = max(d, u, l)
+        if mx == d:
+            cigar.append("d" if curr_score < d else "D")
+            i = (i - 1) if predecessor is None else predecessor
+            j -= 1
+        elif mx == u:
+            cigar.append("U")
+            i = (i - 1) if predecessor is None else predecessor
+            while dpm_bp[i, j] < y_bp[i, j]:
+                cigar.append("U")
+                if nwp[i]:
+                    # quirk: `predecessor` is only reassigned when a
+                    # block covers the path; otherwise the previous
+                    # value is retained (output.rs:276-283).  When that
+                    # stale value is absent the reference crashes /
+                    # loops — surface it instead.
+                    p = _pred_on_path(g, i, bp)
+                    if p is not None:
+                        predecessor = p
+                else:
+                    predecessor = i - 1
+                if predecessor is None:
+                    raise RuntimeError(
+                        "gap-run traceback left the best path "
+                        "(the reference crashes on such inputs)"
+                    )
+                i = predecessor
+        else:
+            cigar.append("L")
+            j -= 1
+            while dpm_bp[i, j] < x_bp[i, j]:
+                cigar.append("L")
+                j -= 1
+    while j > 0:
+        cigar.append("L")
+        j -= 1
+    if semiglobal:
+        cigar.reverse()
+
+        def count_to_source(i: int) -> int:
+            steps = 0
+            while i > 0:
+                if nwp[i]:
+                    p = _pred_on_path(g, i, bp)
+                    if p is None:
+                        # the reference's loop would never terminate
+                        # here (gap_semi output tail keeps i unchanged)
+                        raise RuntimeError(
+                            "semiglobal tail left the best path "
+                            "(the reference loops forever on such inputs)"
+                        )
+                    i = p
+                else:
+                    i -= 1
+                steps += 1
+            return steps
+
+        starting_node = count_to_source(i)
+        final_node = count_to_source(end_node)
+        return f"{build_cigar(cigar)}\t({starting_node} {final_node})"
+    while i > 0:
+        cigar.append("U")
+        i -= 1  # quirk: no pred lookup in this tail (output.rs:299-302)
+    cigar.reverse()
+    if cigar:
+        cigar.pop()  # quirk: last move dropped (output.rs:304)
+    return build_cigar(cigar)
+
+
+def _endings_gap_global(finalcol_b, g: PathGraph) -> int:
+    """Best path over F's preds (gap.rs:541-562); finalcol_b: [n, P]."""
+    P = g.paths_number
+    results = np.zeros(P, dtype=np.int64)
+    for pred, paths in g.preds_and_paths(g.n - 1):
+        ap = g.alphas[pred]
+        for path in np.flatnonzero(paths):
+            if path == ap:
+                results[path] = finalcol_b[pred, path]
+            else:
+                results[path] = finalcol_b[pred, path] + finalcol_b[pred, ap]
+    return max(range(P), key=lambda p: (results[p], p))
+
+
+def _endings_gap_semi(finalcol_b, g: PathGraph) -> tuple[int, int]:
+    """best_ending_node (gap_semi.rs:446-473); returns (node, path)."""
+    mx = None
+    ending_node = 0
+    chosen_path = 0
+    for i in range(g.n - 1):
+        ai = g.alphas[i]
+        absolute = finalcol_b[i].astype(np.int64).copy()
+        on = g.paths_nodes[i]
+        for path in np.flatnonzero(on):
+            if path != ai:
+                absolute[path] += absolute[ai]
+        best_path = max(
+            range(g.paths_number), key=lambda p: (absolute[p], p)
+        )
+        if mx is None or absolute[best_path] > mx:
+            mx = absolute[best_path]
+            ending_node = i
+            chosen_path = best_path
+    return ending_node, chosen_path
+
+
+def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
+              o: int, e: int, chunk_bytes=1 << 29) -> list[tuple[int, str]]:
+    """Modes 6/7 on device: returns [(best_path, printed line), ...]
+    matching oracle exec_gap_global / exec_gap_semiglobal exactly."""
+    from .encode import encode_reads
+    from .pathwise_engine import _align_lp
+
+    meta = gap_meta(g)
+    semiglobal = mode == 7
+    n, P = g.n, g.paths_number
+    out: list[tuple[int, str]] = []
+    Lp_all = _align_lp(sequences)
+    per_read = 3 * n * P * Lp_all * 4
+    chunk = max(1, int(chunk_bytes // per_read))
+    alphas_j = jnp.asarray(meta.alphas)
+    for c0 in range(0, len(sequences), chunk):
+        chunk_seqs = sequences[c0 : c0 + chunk]
+        seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
+        Dm, X, Y = fill_gap_device(g, sm, seq, o, e, semiglobal, meta)
+        finalcol = np.asarray(
+            jax.device_get(final_gap_column(Dm, L))
+        )                                                   # [B, n, P]
+        bps, nodes = [], []
+        for b in range(len(chunk_seqs)):
+            if semiglobal:
+                node, bp = _endings_gap_semi(finalcol[b], g)
+            else:
+                bp, node = _endings_gap_global(finalcol[b], g), 0
+            bps.append(bp)
+            nodes.append(node)
+        bp_j = jnp.asarray(np.asarray(bps, dtype=np.int32))
+        planes = jax.device_get(
+            extract_gap_planes(Dm, X, Y, alphas_j, bp_j)
+        )
+        del Dm, X, Y
+        for b, s in enumerate(chunk_seqs):
+            pl = tuple(np.asarray(p[b][:, : len(s)]) for p in planes)
+            line = walk_gap_planes(pl, g, bps[b], semiglobal, nodes[b])
+            out.append((bps[b], line))
+    return out
