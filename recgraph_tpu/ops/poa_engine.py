@@ -894,14 +894,21 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
     elif mode == 2:
         from . import poa_gap_engine
 
-        out = poa_gap_engine.fill_gap_global_best(
-            dg, table, seq, L, encode_read_aux(btas), o, e, g
-        )
-        score, last_row, last_col, packed, px, py, lefts, rights = out[:8]
-        if out[8] == 1:
-            packed = jnp.moveaxis(packed, 0, 1)
-            px = jnp.moveaxis(px, 0, 1)
-            py = jnp.moveaxis(py, 0, 1)
+        if Lp >= LONG_READ_LP:
+            out = poa_gap_engine.fill_gap_global_long(
+                dg, table, seq, L, encode_read_aux(btas), max(btas), o, e
+            )
+            (score, last_row, last_col, packed, px, py, lefts, rights,
+             ws) = out
+        else:
+            out = poa_gap_engine.fill_gap_global_best(
+                dg, table, seq, L, encode_read_aux(btas), o, e, g
+            )
+            score, last_row, last_col, packed, px, py, lefts, rights = out[:8]
+            if out[8] == 1:
+                packed = jnp.moveaxis(packed, 0, 1)
+                px = jnp.moveaxis(px, 0, 1)
+                py = jnp.moveaxis(py, 0, 1)
     else:
         from . import poa_gap_engine
 

@@ -179,3 +179,57 @@ def test_windowed_pallas_bit_exact(tmp_path):
             l, r, w = lf[b, i], rt[b, i], ws2[b, i]
             if r > l:
                 assert (pk[b, i, l:r] == pk2[i, b, l - w : r - w]).all(), (b, i)
+
+
+def test_windowed_gap_fill_bit_exact(long_corpus):
+    """Mode-2 windowed fill (poa_gap_engine._fill_gap_global_windowed)
+    vs the exact full-width affine engine: scores, bounds, and all
+    three packed planes."""
+    import jax.numpy as jnp
+
+    from recgraph_tpu.ops import poa_gap_engine
+
+    _, graph_gfa, reads = long_corpus
+    parsed = gfa.parse_gfa(graph_gfa)
+    g = PoaGraph.from_gfa(parsed)
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(reads)
+    bta = encode_read_aux([100] * len(reads))
+    o, e = jnp.int32(-4), jnp.int32(-2)
+    sc, lr, lc, pk, px, py, lf, rt = (
+        np.asarray(x)
+        for x in poa_gap_engine._fill_gap_global(dg, table, seq, L, bta, o, e)[:8]
+    )
+    out = poa_gap_engine.fill_gap_global_long(
+        dg, table, seq, L, bta, 100, -4, -2
+    )
+    scw, lrw, lcw, pkw, pxw, pyw, lfw, rtw, ws = (
+        None if x is None else np.asarray(x) for x in out
+    )
+    assert ws is not None, "ladder fell back to full width"
+    assert (sc == scw).all() and (lr == lrw).all() and (lc == lcw).all()
+    assert (lf == lfw).all() and (rt == rtw).all()
+    for b in range(len(reads)):
+        for i in range(dg.n):
+            l, r, w = lf[b, i], rt[b, i], ws[b, i]
+            if r > l:
+                for a, bb in ((pk, pkw), (px, pxw), (py, pyw)):
+                    assert (a[b, i, l:r] == bb[b, i, l - w : r - w]).all(), (b, i)
+
+
+def test_windowed_gap_pipeline_byte_equal(long_corpus, monkeypatch):
+    reads_fa, graph_gfa, _ = long_corpus
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run(Options(sequence_path=reads_fa, graph_path=graph_gfa,
+                    engine="jax", alignment_mode=2))
+    got_windowed = buf.getvalue()
+    assert got_windowed.count("\n") == 3
+    monkeypatch.setattr(poa_engine, "LONG_READ_LP", 1 << 30)  # force full width
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run(Options(sequence_path=reads_fa, graph_path=graph_gfa,
+                    engine="jax", alignment_mode=2))
+    assert got_windowed == buf.getvalue()
