@@ -403,9 +403,263 @@ def _candidate_columns(split_inputs, dfs_i, dfe_i, base_rec_cost,
     return out
 
 
+_SUMMARY_K = 16
+_summary_cache: dict[tuple, object] = {}
+
+
+def _col_summary_fn(I, Tc):
+    """Per-column plane summaries for a given column set.
+
+    Same [B, I, Tc]-chunked evaluation as ``_split_search_fn`` but with
+    NO sequential carry: each column independently reduces to
+    (col_max f32, edge_any, flat_edge, flat_plain) — everything the
+    take/tie logic of best_alignment (:803-860) reads.  Used by the
+    bound-guided search, which replays that logic on host.
+    """
+    NC = -(-I // Tc)
+    Ipad = NC * Tc
+    BIG = jnp.int32(1 << 30)
+
+    @jax.jit
+    def run(cols, fmax, farg, vf, rmax, rarg, vr, penalty, diff_node, onedge):
+        B, _, Lp = fmax.shape
+        kpad = Ipad - I
+        rmax_p = jnp.pad(rmax, ((0, 0), (0, kpad), (0, 0)))
+        rarg_p = jnp.pad(rarg, ((0, 0), (0, kpad), (0, 0)))
+        vr_p = jnp.pad(vr, ((0, 0), (0, kpad), (0, 0)))
+        penalty_p = jnp.pad(penalty, ((0, 0), (0, kpad)))
+        diff_node_p = jnp.pad(diff_node, ((0, 0), (0, kpad)))
+        onedge_p = jnp.pad(onedge, ((0, 0), (0, kpad)))
+        iidx = jnp.arange(I, dtype=jnp.int32)
+        tidx = jnp.arange(Tc, dtype=jnp.int32)
+
+        def one(carry, j):
+            fv = fmax[:, :, j].astype(jnp.float32)
+            fa = farg[:, :, j]
+            vfj = vf[:, :, j]
+
+            def chunk(c, cc):
+                bestv, bflat, beflat, beany = cc
+                k0 = c * Tc
+                rvc = jax.lax.dynamic_slice(rmax_p, (0, k0, j), (B, Tc, 1))[..., 0]
+                rac = jax.lax.dynamic_slice(rarg_p, (0, k0, j), (B, Tc, 1))[..., 0]
+                vrc = jax.lax.dynamic_slice(vr_p, (0, k0, j), (B, Tc, 1))[..., 0]
+                penc = jax.lax.dynamic_slice(penalty_p, (0, k0), (I, Tc))
+                dnc = jax.lax.dynamic_slice(diff_node_p, (0, k0), (I, Tc))
+                onc = jax.lax.dynamic_slice(onedge_p, (0, k0), (I, Tc))
+                cand = (
+                    fv[:, :, None] + rvc[:, None, :].astype(jnp.float32)
+                    - penc[None]
+                )
+                valid = (
+                    dnc[None]
+                    & (fa[:, :, None] != rac[:, None, :])
+                    & vfj[:, :, None]
+                    & vrc[:, None, :]
+                )
+                cv = jnp.where(valid, cand, NEGF).reshape(B, I * Tc)
+                flatv = (
+                    iidx[:, None] * I + k0 + tidx[None, :]
+                ).reshape(1, I * Tc)
+                cmax = cv.max(axis=1)
+                atm = cv == cmax[:, None]
+                fmin = jnp.min(jnp.where(atm, flatv, BIG), axis=1)
+                ate = atm & onc.reshape(1, I * Tc)
+                eany = ate.any(axis=1)
+                femin = jnp.min(jnp.where(ate, flatv, BIG), axis=1)
+                gtc = cmax > bestv
+                eqc = cmax == bestv
+                bflat = jnp.where(
+                    gtc, fmin, jnp.where(eqc, jnp.minimum(bflat, fmin), bflat)
+                )
+                beflat = jnp.where(
+                    gtc, femin,
+                    jnp.where(eqc, jnp.minimum(beflat, femin), beflat),
+                )
+                beany = jnp.where(gtc, eany, beany | (eqc & eany))
+                return (jnp.maximum(bestv, cmax), bflat, beflat, beany)
+
+            col_max, flat_plain, flat_edge, edge_any = jax.lax.fori_loop(
+                0, NC, chunk,
+                (
+                    jnp.full((B,), NEGF),
+                    jnp.full((B,), BIG),
+                    jnp.full((B,), BIG),
+                    jnp.zeros((B,), bool),
+                ),
+            )
+            flat_edge = jnp.where(edge_any, flat_edge, 0)
+            flat_plain = jnp.minimum(flat_plain, I * I - 1)
+            return carry, (col_max, edge_any, flat_edge, flat_plain)
+
+        _, outs = jax.lax.scan(one, 0, cols)
+        return tuple(jnp.moveaxis(o, 0, 1) for o in outs)   # [B, K] each
+
+    return run
+
+
+def _run_split_guided(inputs, penalty, diff_node, onedge, active_np,
+                      init_best, dfs_i, dfe_i, base_rec_cost,
+                      multi_rec_cost, I, Lp):
+    """Bound-guided EXACT split search.
+
+    The 4-sign upper bound (``_column_ub``) is measured near-tight
+    (median gap 0 on the example corpus), so evaluating the O(I²)
+    candidate plane only for columns whose bound can still reach the
+    running per-read maximum finds the same result as the full column
+    scan at a fraction of the work:
+
+    1. compute ub[b, j] for every column — O(I) per column;
+    2. repeatedly evaluate (device, in K-column batches) the columns
+       with ub + 0.5 >= max(M_b, baseline_b) for some read b, where
+       M_b is the max col_max seen so far — until none remain.  Any
+       skipped column has col_max <= ub < max(M_b, baseline_b), so it
+       could never equal the final maximum B*_b;
+    3. replay best_alignment's take/tie chain (:803-860) on host over
+       the evaluated columns in ascending order.  The chain's final
+       state depends only on the ordered columns with
+       col_max == B*_b (the first of them always takes; later ones
+       only via the onedge == rule), and all of those are evaluated,
+       so the replay is exact — including the f32 == comparisons,
+       which use the very summaries the full scan would compare.
+
+    The 0.5 slack absorbs f32 round-off between the separated bound
+    and the plane expression (scores are integers, penalties multiples
+    of the rec cost).
+    """
+    # under a data-parallel mesh the fill outputs are batch-sharded;
+    # the host-driven rounds below would reshard them on every sliced
+    # call — gather once instead (the split phase's plane work is a few
+    # columns per read, single-device is the right place for it)
+    sh = getattr(inputs[0], "sharding", None)
+    if sh is not None and len(sh.device_set) > 1:
+        dev0 = next(iter(sh.device_set))
+        inputs = tuple(jax.device_put(x, dev0) for x in inputs)
+
+    fmax, farg, vf, rmax, rarg, vr = inputs
+    B = active_np.shape[0]
+
+    # different reads peak at different columns, so the needed-column
+    # union grows with the batch; sub-batching keeps it near the
+    # per-read count (~1-3 on the example corpus)
+    SB = 4
+    if B > SB:
+        outs = [
+            _run_split_guided(
+                tuple(x[b0 : b0 + SB] for x in inputs), penalty, diff_node,
+                onedge, active_np[b0 : b0 + SB], init_best[b0 : b0 + SB],
+                dfs_i, dfe_i, base_rec_cost, multi_rec_cost, I, Lp,
+            )
+            for b0 in range(0, B, SB)
+        ]
+        return tuple(np.concatenate(parts) for parts in zip(*outs))
+
+    r = np.float32(multi_rec_cost)
+    signs = np.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], np.float32)
+    d = np.stack([dfs_i, dfe_i]).astype(np.float32)
+    wf = jnp.asarray(-(r * signs @ d))
+    wr = jnp.asarray(r * signs @ d)
+    ub = np.asarray(jax.device_get(_column_ub(fmax, vf, rmax, vr, wf, wr)))
+    ub = ub - np.float32(base_rec_cost)
+    ub = np.where(active_np, ub, -np.inf)                  # [B, Lp]
+    ub[:, :1] = -np.inf
+    ub[:, Lp - 1 :] = -np.inf
+
+    plane = 4 * B * I * I
+    Tc = I if plane <= (1 << 28) else max(
+        128, ((1 << 28) // (4 * B * I)) // 128 * 128
+    )
+    key = (I, Tc)
+    summarize = _summary_cache.get(key)
+    if summarize is None:
+        summarize = _col_summary_fn(I, Tc)
+        _summary_cache[key] = summarize
+
+    M = np.full(B, -np.inf, np.float32)
+    thresh = np.maximum(M, init_best)
+    evaluated: dict[int, tuple] = {}
+    while True:
+        needed = (ub + 0.5 >= thresh[:, None]).any(axis=0)
+        needed[list(evaluated)] = False
+        idx = np.flatnonzero(needed)
+        if len(idx) == 0:
+            break
+        prio = (ub[:, idx] - thresh[:, None]).max(axis=0)
+        take = idx[np.argsort(-prio)[: _SUMMARY_K]]
+        cols = np.zeros(_SUMMARY_K, np.int32)
+        cols[: len(take)] = take
+        cm, ea, fe, fp_ = (
+            np.asarray(jax.device_get(x))
+            for x in summarize(
+                jnp.asarray(cols), fmax, farg, vf, rmax, rarg, vr,
+                penalty, diff_node, onedge,
+            )
+        )
+        for t, j in enumerate(take):
+            evaluated[int(j)] = (cm[:, t], ea[:, t], fe[:, t], fp_[:, t])
+        M = np.maximum(M, cm[:, : len(take)].max(axis=1))
+        thresh = np.maximum(M, init_best)
+
+    # host replay of the take/tie chain over evaluated columns
+    best = init_best.astype(np.float32).copy()
+    edge_state = np.zeros(B, bool)
+    taken = np.zeros(B, bool)
+    fen = np.zeros(B, np.int32)
+    rsn = np.zeros(B, np.int32)
+    fpo = np.zeros(B, np.int32)
+    rpo = np.zeros(B, np.int32)
+    col = np.zeros(B, np.int32)
+    win_i = np.zeros(B, np.int32)
+    win_k = np.zeros(B, np.int32)
+    for j in sorted(evaluated):
+        cm, ea, fe, fp_ = evaluated[j]
+        gt = cm > best
+        eq = cm == best
+        take = active_np[:, j] & (gt | (eq & ~edge_state & ea))
+        if not take.any():
+            continue
+        use_edge = np.where(gt, ea, True)
+        flat = np.where(use_edge, fe, fp_).astype(np.int64)
+        ii = (flat // I).astype(np.int32)
+        kk = (flat % I).astype(np.int32)
+        best = np.where(take, cm, best)
+        edge_state = np.where(take, use_edge, edge_state)
+        taken |= take
+        fen = np.where(take, ii + 1, fen)
+        rsn = np.where(take, kk + 1, rsn)
+        col = np.where(take, j, col)
+        win_i = np.where(take, ii, win_i)
+        win_k = np.where(take, kk, win_k)
+    if taken.any():
+        # winner paths: farg/rarg at the taken (row, column) per read
+        bidx = jnp.arange(B)
+        fpo = np.asarray(jax.device_get(
+            farg[bidx, jnp.asarray(win_i), jnp.asarray(col)]
+        ))
+        rpo = np.asarray(jax.device_get(
+            rarg[bidx, jnp.asarray(win_k), jnp.asarray(col)]
+        ))
+        fpo = np.where(taken, fpo, 0).astype(np.int32)
+        rpo = np.where(taken, rpo, 0).astype(np.int32)
+    return best, taken, fen, rsn, fpo, rpo, col
+
+
 def _run_split(split, inputs, penalty, diff_node, onedge, active_np,
                init_best, dfs, dfe, base_rec_cost, multi_rec_cost, n, Lp):
-    """Candidate-pruned split search; returns numpy outputs."""
+    """Split search dispatcher; returns numpy outputs.
+
+    The bound-guided search (``_run_split_guided``) is the default;
+    ``RECGRAPH_SPLIT_FULL=1`` forces the original full column scan
+    (kept as the cross-check and for degenerate bound cases).
+    """
+    import os
+
+    if Lp - 2 > 8 and not os.environ.get("RECGRAPH_SPLIT_FULL"):
+        return _run_split_guided(
+            inputs, penalty, diff_node, onedge, active_np, init_best,
+            dfs[1 : n - 1], dfe[1 : n - 1], base_rec_cost, multi_rec_cost,
+            n - 2, Lp,
+        )
     cols = _candidate_columns(
         inputs, dfs[1 : n - 1], dfe[1 : n - 1], base_rec_cost,
         multi_rec_cost, active_np, init_best, Lp,

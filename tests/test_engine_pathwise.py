@@ -113,16 +113,42 @@ def test_recombination_device_walk(corpus, mode):
             assert r_o.to_string() == recs[i].to_string()
 
 
-def test_split_search_pruning_exact(corpus, monkeypatch):
-    """Candidate-column pruning must engage AND leave the GAF unchanged.
+def test_split_search_guided_exact(corpus, monkeypatch):
+    """The bound-guided split search (default) must evaluate only a
+    subset of columns AND byte-match the full column scan.
 
-    The bound argument (recombination_engine._candidate_columns) says a
-    column whose 4-sign upper bound is below every read's baseline can
-    never be taken; here we check it empirically: force the full scan,
-    then the pruned scan, and byte-compare.
+    Exactness argument in recombination_engine._run_split_guided: any
+    skipped column's 4-sign upper bound is below the final per-read
+    maximum, so it could never be taken; evaluated columns replay the
+    exact take/tie chain.
     """
     seqs, names, g, sm = corpus
     rg = g.reverse()
+    evaluated = {}
+    orig = recombination_engine._run_split_guided
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        evaluated["ran"] = True
+        return out
+
+    monkeypatch.setattr(recombination_engine, "_run_split_guided", spy)
+    guided = recombination_engine.run_batch_walks(
+        8, seqs, g, rg, sm, 4, 0.1, 0.3
+    )
+    assert evaluated.get("ran"), "guided search never engaged"
+    monkeypatch.setenv("RECGRAPH_SPLIT_FULL", "1")
+    full = recombination_engine.run_batch_walks(8, seqs, g, rg, sm, 4, 0.1, 0.3)
+    assert [r.to_string() for r in guided] == [r.to_string() for r in full]
+
+
+def test_split_search_pruning_exact(corpus, monkeypatch):
+    """The legacy full-scan path's candidate-column pruning
+    (_candidate_columns) must still engage and leave the GAF unchanged
+    (it remains the RECGRAPH_SPLIT_FULL cross-check path)."""
+    seqs, names, g, sm = corpus
+    rg = g.reverse()
+    monkeypatch.setenv("RECGRAPH_SPLIT_FULL", "1")
     engaged = {}
     orig = recombination_engine._candidate_columns
 
