@@ -32,15 +32,25 @@ class PoaDeviceGraph:
     pred_mask: jnp.ndarray   # bool[n, Pm]
     min_pred: jnp.ndarray    # int32[n]   fallback predecessor (min pred / i-1)
     r_values: jnp.ndarray    # int32[n]   distance-to-sink (utils.rs:103-126)
+    # compact predecessor-ring metadata: predecessors are always node
+    # *ends*, so a VMEM ring indexed by end rank needs only
+    # O(nodes-spanned) slots instead of O(rows-spanned) — erank[i] is
+    # row i's rank among end rows (-1 elsewhere), pred_rank the rank of
+    # each padded predecessor, compact_span the max number of ends
+    # written between a pred's ring write and its last read
+    erank: jnp.ndarray       # int32[n]
+    pred_rank: jnp.ndarray   # int32[n, Pm]
     sink_rows: tuple[int, ...]  # F's predecessor end positions, ascending
     n: int
     max_preds: int
+    compact_span: int
 
 
 jax.tree_util.register_dataclass(
     PoaDeviceGraph,
-    data_fields=["codes", "node_start", "pred_idx", "pred_mask", "min_pred", "r_values"],
-    meta_fields=["sink_rows", "n", "max_preds"],
+    data_fields=["codes", "node_start", "pred_idx", "pred_mask", "min_pred",
+                 "r_values", "erank", "pred_rank"],
+    meta_fields=["sink_rows", "n", "max_preds", "compact_span"],
 )
 
 
@@ -86,6 +96,24 @@ def _build_poa_device_graph(g: PoaGraph) -> PoaDeviceGraph:
     min_pred = np.zeros(n, dtype=np.int32)
     for i in range(1, n):
         min_pred[i] = g.min_pred(i)
+
+    # compact end-rank ring metadata (see PoaDeviceGraph docstring)
+    is_end = np.zeros(n, dtype=bool)
+    is_end[0] = True
+    for preds in g.preds.values():
+        for p in preds:
+            is_end[p] = True
+    ends_before = np.cumsum(is_end)                # ends at rows <= i
+    erank = np.where(is_end, ends_before - 1, -1).astype(np.int32)
+    pred_rank = np.where(mask, erank[np.maximum(idx, 0)], -1).astype(np.int32)
+    compact_span = 0
+    for i, preds in g.preds.items():
+        for p in preds:
+            if p > 0:
+                compact_span = max(
+                    compact_span, int(ends_before[i - 1] - 1 - erank[p]) + 1
+                )
+
     dg = PoaDeviceGraph(
         codes=jnp.asarray(g.codes, dtype=jnp.int32),
         node_start=jnp.asarray(g.node_start),
@@ -93,9 +121,12 @@ def _build_poa_device_graph(g: PoaGraph) -> PoaDeviceGraph:
         pred_mask=jnp.asarray(mask),
         min_pred=jnp.asarray(min_pred),
         r_values=jnp.asarray(g.r_values(), dtype=jnp.int32),
+        erank=jnp.asarray(erank),
+        pred_rank=jnp.asarray(pred_rank),
         sink_rows=tuple(int(p) for p in g.preds[n - 1]),
         n=n,
         max_preds=idx.shape[1],
+        compact_span=compact_span,
     )
     return dg
 

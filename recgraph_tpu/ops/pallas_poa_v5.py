@@ -62,14 +62,16 @@ def _chain_radix4(x, jcol, Lp):
     return x
 
 
-def _make_kernel(R: int, steps: int, ring16: bool):
+def _make_kernel(R: int, steps: int, ring16: bool, ringc: int):
     rdt = jnp.int16 if ring16 else jnp.int32
 
     def kernel(
         pred_idx_ref,   # i32[n * Pm] (flat: 2-D SMEM pads to 128 lanes)
+        pred_rank_ref,  # i32[n * Pm] compact end-rank per predecessor
         is_start_ref,   # i32[n]
         gnode_ref,      # i32[n]
         codes_ref,      # i32[n]
+        erank_ref,      # i32[n]      end rank of row i (-1 if not an end)
         nrows_ref,      # i32[1]
         sub_ref,        # [7, Bt, Lp]   table[c][seq[j]]
         eq_ref,         # [7, Bt, Lp]   seq[j] == c
@@ -79,7 +81,7 @@ def _make_kernel(R: int, steps: int, ring16: bool):
         packed_ref,     # out [R, Bt, Lp] (row-major layout [n_pad, B, Lp])
         bv_ref,         # out [Bt, 1]
         key_ref,        # out [Bt, 1]   best_i * Lp + best_j
-        ring,           # scratch [RING, Bt, Lp] (rdt)
+        ring,           # scratch [ringc, Bt, Lp] (rdt), end-rank indexed
         prev,           # scratch [Bt, Lp]
         best,           # scratch [2, Bt, Lp]
         acc,            # scratch [4, Bt, Lp]
@@ -124,10 +126,11 @@ def _make_kernel(R: int, steps: int, ring16: bool):
                 acc[3] = jnp.zeros((Bt, Lp), jnp.int32)
                 for p in range(Pm):
                     pidx = pred_idx_ref[i * Pm + p]
+                    rank = pred_rank_ref[i * Pm + p]
 
                     @pl.when(pidx >= 0)
                     def _():
-                        prow = ring[jnp.maximum(pidx, 0) % RING].astype(
+                        prow = ring[jnp.maximum(rank, 0) % ringc].astype(
                             jnp.int32
                         )
                         prow = jnp.where(pidx == 0, 0, prow)  # row 0 = zeros
@@ -185,12 +188,20 @@ def _make_kernel(R: int, steps: int, ring16: bool):
             best[1] = jnp.where(upd, i, best[1])
             best[0] = jnp.where(upd, row_masked, best[0])
 
-            # ring write feeds future start rows; pads/row 0 store zeros
+            # ring write feeds future start rows; only node-end rows are
+            # ever read as predecessors, so only they occupy ring slots
             m_store = jnp.where(live, m_row, 0)
-            if ring16:
-                ring[i % RING] = jnp.clip(m_store, -32768, 32767).astype(rdt)
-            else:
-                ring[i % RING] = m_store
+            er = erank_ref[ii]
+
+            @pl.when(er >= 0)
+            def _():
+                if ring16:
+                    ring[er % ringc] = jnp.clip(
+                        m_store, -32768, 32767
+                    ).astype(rdt)
+                else:
+                    ring[er % ringc] = m_store
+
             prev[:, :] = m_store
 
         @pl.when(step == steps - 1)
@@ -208,13 +219,16 @@ def _make_kernel(R: int, steps: int, ring16: bool):
     return kernel
 
 
-def pick_bt(B: int, Lp: int, ring16: bool, R: int = 8) -> int:
+def pick_bt(B: int, Lp: int, ring16: bool, R: int = 8,
+            ringc: int = RING) -> int:
     """Largest power-of-two batch tile whose VMEM footprint fits.
 
-    Words per (Bt x Lp) element: ring RING*(0.5|1), sub+eq 14 (x2
-    buffers), ins 3 (x2), packed out R (x2), scratch 7.
+    Words per (Bt x Lp) element: ring ringc*(0.5|1), sub+eq 14 (x2
+    buffers), ins 3 (x2), packed out R (x2), scratch 7.  The compact
+    end-rank ring (ringc ~ 16-32 on pangenome graphs vs the absolute
+    ring's 256) is what lets Bt reach 128.
     """
-    words = RING * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 7
+    words = ringc * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 7
     bt = 128
     while bt > 8 and (words * 4 * bt * Lp > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
@@ -248,22 +262,25 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
             ring16 = False      # under an outer jit the bound is unknowable;
         else:                   # callers there pass ring16= explicitly
             ring16 = int(jnp.max(table)) * Lp < 32000
+    ringc = 16
+    while ringc <= dg.compact_span:
+        ringc *= 2
     if Bt is None:
-        Bt = pick_bt(B, Lp, ring16, R)
+        Bt = pick_bt(B, Lp, ring16, R, ringc)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
     n = dg.n
     steps = -(-(n - 1) // R)
     n_pad = steps * R
-    key = (n, Lp, Bt, R, B, interpret, ring16)
+    key = (n, Lp, Bt, R, B, interpret, ring16, ringc)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(R, steps, ring16)
+        kernel = _make_kernel(R, steps, ring16, ringc)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=5,
+                    num_scalar_prefetch=7,
                     grid=(B // Bt, steps),
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lp), lambda b, s, *_: (0, b, 0),
@@ -286,7 +303,7 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
-                        pltpu.VMEM((RING, Bt, Lp),
+                        pltpu.VMEM((ringc, Bt, Lp),
                                    jnp.int16 if ring16 else jnp.int32),
                         pltpu.VMEM((Bt, Lp), jnp.int32),
                         pltpu.VMEM((2, Bt, Lp), jnp.int32),
@@ -313,7 +330,8 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
     gnode = tT[dg.codes, GAP]
     nrows = jnp.asarray([n - 1], dtype=jnp.int32)
     packed, bv, bkey = fn(
-        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32), gnode,
-        dg.codes, nrows, sub, eq, gseq, G, valid,
+        dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1),
+        dg.node_start.astype(jnp.int32), gnode, dg.codes, dg.erank, nrows,
+        sub, eq, gseq, G, valid,
     )
     return bv[:, 0], bkey[:, 0] // Lp, bkey[:, 0] % Lp, packed

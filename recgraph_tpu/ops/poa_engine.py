@@ -684,8 +684,11 @@ def fill_local_best(dg, table, seq, L, g=None, ring16=None):
     if jax.default_backend() == "tpu" and g is not None:
         from . import pallas_poa, pallas_poa_v5
 
-        smem_ok = dg.n * (dg.max_preds + 5) * 4 < 700_000
-        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
+        smem_ok = dg.n * (2 * dg.max_preds + 5) * 4 < 700_000
+        # the compact end-rank ring bounds the VMEM ring at
+        # O(nodes-spanned) — graphs qualify on their node span, not the
+        # (much larger) base span
+        if dg.compact_span < 256 and smem_ok:
             B = seq.shape[0]
             mesh, (seq, L), _ = _pallas_batch_plan((seq, L))
             # v5 (128-aligned lanes + radix-4 chain + int16 ring + wide
