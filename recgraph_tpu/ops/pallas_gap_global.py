@@ -58,12 +58,15 @@ def _chain_radix(x, jcol, Lp):
     return x
 
 
-def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
+def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
+                 ringc: int):
     num_sinks = len(sink_rows)
     rdt = jnp.int16 if ring16 else jnp.int32
 
     def kernel(
         pred_idx_ref,   # i32[n * Pm]
+        pred_rank_ref,  # i32[n * Pm] compact end rank per predecessor
+        erank_ref,      # i32[n]      end rank of row i (-1 if not an end)
         is_start_ref,   # i32[n]
         codes_ref,      # i32[n]
         r_ref,          # i32[n]
@@ -158,9 +161,9 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
             cov_d_f = (pl_f < jcol) & (jcol <= pr_f)
             d_f = jnp.where(cov_d_f & (jcol > 0), pm_sh, NEGc)
 
-            def pred_rows(pidx):
-                pm = ring_m[jnp.maximum(pidx, 0) % RING].astype(jnp.int32)
-                py = ring_y[jnp.maximum(pidx, 0) % RING].astype(jnp.int32)
+            def pred_rows(pidx, rank):
+                pm = ring_m[jnp.maximum(rank, 0) % ringc].astype(jnp.int32)
+                py = ring_y[jnp.maximum(rank, 0) % ringc].astype(jnp.int32)
                 pm = jnp.where(pidx == 0, row0, pm)
                 py = jnp.where(pidx == 0, row0, py)
                 return pm, py
@@ -176,7 +179,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
                 for p in range(Pm):
                     pidx = pred_idx_ref[ii * Pm + p]
                     ok = pidx >= 0
-                    pmv, pyv = pred_rows(pidx)
+                    pmv, pyv = pred_rows(pidx, pred_rank_ref[ii * Pm + p])
                     pl_ = jnp.transpose(
                         lefts_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
                     )
@@ -320,12 +323,18 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
 
             m_store = jnp.where(live, m_row, NEGc)
             y_store = jnp.where(live, y_row, NEGc)
-            if ring16:
-                ring_m[i % RING] = jnp.clip(m_store, -32768, 32767).astype(rdt)
-                ring_y[i % RING] = jnp.clip(y_store, -32768, 32767).astype(rdt)
-            else:
-                ring_m[i % RING] = m_store
-                ring_y[i % RING] = y_store
+            er = erank_ref[ii]
+
+            @pl.when(er >= 0)
+            def _():
+                if ring16:
+                    ring_m[er % ringc] = jnp.clip(
+                        m_store, -32768, 32767).astype(rdt)
+                    ring_y[er % ringc] = jnp.clip(
+                        y_store, -32768, 32767).astype(rdt)
+                else:
+                    ring_m[er % ringc] = m_store
+                    ring_y[er % ringc] = y_store
             prev_m[:, :] = m_store
             prev_y[:, :] = y_store
 
@@ -365,8 +374,9 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
 _cache: dict = {}
 
 
-def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8) -> int:
-    words = 2 * RING * (0.5 if ring16 else 1.0) + 28 + 4 + 6 * R + 12
+def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
+            ringc: int = RING) -> int:
+    words = 2 * ringc * (0.5 if ring16 else 1.0) + 28 + 4 + 6 * R + 12
     bt = 64
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
@@ -393,8 +403,11 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
 
         bound = (sm_max_entry(table) + max(-o_i, -e_i)) * (n + Lpo)
         ring16 = bound < 32000
+    ringc = 16
+    while ringc <= dg.compact_span:
+        ringc *= 2
     if Bt is None:
-        Bt = pick_bt(B, Lpo, ring16, R)
+        Bt = pick_bt(B, Lpo, ring16, R, ringc)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
     steps = -(-(n - 1) // R)
@@ -403,15 +416,15 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
     sink_rows = dg.sink_rows
     sink_pad = (len(sink_rows) + 7) // 8 * 8
 
-    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16)
+    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(sink_rows, R, n, ring16, Lp)
+        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=7,
+                    num_scalar_prefetch=9,
                     grid=(B // Bt, steps),
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
@@ -436,9 +449,9 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
-                        pltpu.VMEM((RING, Bt, Lpo),
+                        pltpu.VMEM((ringc, Bt, Lpo),
                                    jnp.int16 if ring16 else jnp.int32),
-                        pltpu.VMEM((RING, Bt, Lpo),
+                        pltpu.VMEM((ringc, Bt, Lpo),
                                    jnp.int16 if ring16 else jnp.int32),
                         pltpu.VMEM((Bt, Lpo), jnp.int32),
                         pltpu.VMEM((Bt, Lpo), jnp.int32),
@@ -480,7 +493,8 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
         sink_ord[srow] = k
     oe = jnp.asarray([o_i, e_i], dtype=jnp.int32)
     packed, packed_x, packed_y, score, lrow, lcol = fn(
-        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32),
+        dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1), dg.erank,
+        dg.node_start.astype(jnp.int32),
         dg.codes, dg.r_values, dg.min_pred, jnp.asarray(sink_ord), oe,
         sub, eq, aux,
     )

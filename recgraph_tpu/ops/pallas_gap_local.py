@@ -47,11 +47,13 @@ def _chain_radix(x, jcol, Lp):
     return x
 
 
-def _make_kernel(R: int, n: int, ring16: bool):
+def _make_kernel(R: int, n: int, ring16: bool, ringc: int):
     rdt = jnp.int16 if ring16 else jnp.int32
 
     def kernel(
-        pred_idx_ref,   # i32[n * Pm]
+        pred_idx_ref,
+        pred_rank_ref,  # i32[n * Pm] compact end rank per predecessor
+        erank_ref,      # i32[n]      end rank of row i (-1 if not an end)   # i32[n * Pm]
         is_start_ref,   # i32[n]
         codes_ref,      # i32[n]
         oe_ref,         # i32[2]  (o, e)
@@ -106,9 +108,9 @@ def _make_kernel(R: int, n: int, ring16: bool):
             from_y_n = uy_n > um_n                          # strict => Y
             y_row_n = jnp.maximum(um_n, uy_n) + e
 
-            def pred_rows(pidx):
-                pm = ring_m[jnp.maximum(pidx, 0) % RING].astype(jnp.int32)
-                py = ring_y[jnp.maximum(pidx, 0) % RING].astype(jnp.int32)
+            def pred_rows(pidx, rank):
+                pm = ring_m[jnp.maximum(rank, 0) % ringc].astype(jnp.int32)
+                py = ring_y[jnp.maximum(rank, 0) % ringc].astype(jnp.int32)
                 pm = jnp.where(pidx == 0, 0, pm)            # row 0 zeros
                 py = jnp.where(pidx == 0, 0, py)
                 return pm, py
@@ -126,7 +128,7 @@ def _make_kernel(R: int, n: int, ring16: bool):
                 for p in range(Pm):
                     pidx = pred_idx_ref[ii * Pm + p]
                     ok = pidx >= 0
-                    pm, py = pred_rows(pidx)
+                    pm, py = pred_rows(pidx, pred_rank_ref[ii * Pm + p])
                     pm = jnp.where(ok, pm, NEGc)
                     py = jnp.where(ok, py, NEGc)
                     pm_sh = jnp.where(j0, NEGc, pltpu.roll(pm, 1, 1))
@@ -220,12 +222,18 @@ def _make_kernel(R: int, n: int, ring16: bool):
 
             m_store = jnp.where(live, m_row, 0)
             y_store = jnp.where(live, y_row, 0)
-            if ring16:
-                ring_m[i % RING] = jnp.clip(m_store, -32768, 32767).astype(rdt)
-                ring_y[i % RING] = jnp.clip(y_store, -32768, 32767).astype(rdt)
-            else:
-                ring_m[i % RING] = m_store
-                ring_y[i % RING] = y_store
+            er = erank_ref[ii]
+
+            @pl.when(er >= 0)
+            def _():
+                if ring16:
+                    ring_m[er % ringc] = jnp.clip(
+                        m_store, -32768, 32767).astype(rdt)
+                    ring_y[er % ringc] = jnp.clip(
+                        y_store, -32768, 32767).astype(rdt)
+                else:
+                    ring_m[er % ringc] = m_store
+                    ring_y[er % ringc] = y_store
             prev_m[:, :] = m_store
             prev_y[:, :] = y_store
 
@@ -246,8 +254,9 @@ def _make_kernel(R: int, n: int, ring16: bool):
 _cache: dict = {}
 
 
-def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8) -> int:
-    words = 2 * RING * (0.5 if ring16 else 1.0) + 28 + 2 + 6 * R + 10
+def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
+            ringc: int = RING) -> int:
+    words = 2 * ringc * (0.5 if ring16 else 1.0) + 28 + 2 + 6 * R + 10
     bt = 64
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
@@ -276,22 +285,25 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
         from .poa_engine import sm_max_entry
 
         ring16 = (sm_max_entry(table) + max(-o_i, -e_i)) * Lpo < 32000
+    ringc = 16
+    while ringc <= dg.compact_span:
+        ringc *= 2
     if Bt is None:
-        Bt = pick_bt(B, Lpo, ring16, R)
+        Bt = pick_bt(B, Lpo, ring16, R, ringc)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
     steps = -(-(n - 1) // R)
     n_pad = steps * R
 
-    key = (Lpo, n, Bt, R, B, interpret, ring16)
+    key = (Lpo, n, Bt, R, B, interpret, ring16, ringc)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(R, n, ring16)
+        kernel = _make_kernel(R, n, ring16, ringc)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=4,
+                    num_scalar_prefetch=6,
                     grid=(B // Bt, steps),
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
@@ -314,9 +326,9 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
-                        pltpu.VMEM((RING, Bt, Lpo),
+                        pltpu.VMEM((ringc, Bt, Lpo),
                                    jnp.int16 if ring16 else jnp.int32),
-                        pltpu.VMEM((RING, Bt, Lpo),
+                        pltpu.VMEM((ringc, Bt, Lpo),
                                    jnp.int16 if ring16 else jnp.int32),
                         pltpu.VMEM((Bt, Lpo), jnp.int32),
                         pltpu.VMEM((Bt, Lpo), jnp.int32),
@@ -344,7 +356,8 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
     valid = (jc[None, :] < L[:, None]).astype(jnp.int32)
     oe = jnp.asarray([o_i, e_i], dtype=jnp.int32)
     packed, packed_x, packed_y, bv, bkey = fn(
-        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32),
+        dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1), dg.erank,
+        dg.node_start.astype(jnp.int32),
         dg.codes, oe, sub, eq, valid,
     )
     packed = packed[:n].at[n - 1].set(0)

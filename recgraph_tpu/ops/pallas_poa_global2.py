@@ -71,12 +71,16 @@ def _cumsum_lanes(x, jcol, Lp):
     return x
 
 
-def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
+def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
+                 ringc: int):
     num_sinks = len(sink_rows)
     rdt = jnp.int16 if ring16 else jnp.int32
 
     def kernel(
         pred_idx_ref,   # i32[n * Pm] (flat)
+        pred_rank_ref,  # i32[n * Pm] compact end rank per predecessor
+        erank_ref,      # i32[n]      end rank of row i (-1 if not an end)
+        minp_rank_ref,  # i32[n]      erank[min_pred] (-1 for non-start rows)
         is_start_ref,   # i32[n]
         gnode_ref,      # i32[n]
         codes_ref,      # i32[n]
@@ -92,7 +96,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
         score_ref,      # out [Bt, 1]
         lrow_ref,       # out [Bt, 1]
         lcol_ref,       # out [Bt, 1]
-        ring,           # scratch [RING, Bt, Lpo] (rdt)
+        ring,           # scratch [ringc, Bt, Lpo] (rdt), end-rank indexed
         row0_s,         # scratch [Bt, Lpo]
         prev_s,         # scratch [Bt, Lpo] (previous row, int32)
         G_s,            # scratch [2, Bt, Lpo] (cumsum gseq / gcol0)
@@ -173,8 +177,8 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
             cov_d = (pl_f < jcol) & (jcol <= pr_f)
             d_pre_f = jnp.where(cov_d & (jcol > 0), prev_sh, NEGc)
 
-            def pred_row(pidx):
-                prow = ring[jnp.maximum(pidx, 0) % RING].astype(jnp.int32)
+            def pred_row(pidx, rank):
+                prow = ring[jnp.maximum(rank, 0) % ringc].astype(jnp.int32)
                 return jnp.where(pidx == 0, row0_s[:, :], prow)
 
             @pl.when(is_start)
@@ -188,7 +192,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
                 for p in range(Pm):
                     pidx = pred_idx_ref[ii * Pm + p]
                     ok = pidx >= 0
-                    prow = pred_row(pidx)
+                    prow = pred_row(pidx, pred_rank_ref[ii * Pm + p])
                     pl_ = jnp.transpose(
                         lefts_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
                     )
@@ -228,7 +232,13 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
             A = jnp.maximum(d_val, u_val)
             gseq_left = lane_at(gseq, left)
             l_fb = gseq_left * (i + left)
-            minp_row = pred_row(minp)
+            # min_pred is a node end for start rows (ring) and i-1 for
+            # non-start rows (prev_s — not a ring slot in compact form)
+            minp_row = jnp.where(
+                is_start,
+                pred_row(minp, minp_rank_ref[ii]),
+                jnp.where(minp == 0, row0_s[:, :], prev_s[:, :]),
+            )
             lefts_minp = jnp.transpose(lefts_s[pl.ds(minp, 1), :])
             base0 = lane_at(minp_row, lefts_minp) + gnode_i
             is_left = jcol == left
@@ -286,10 +296,17 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
             packed_ref[r] = pk
 
             m_store = jnp.where(live, m_row, NEGc)
-            if ring16:
-                ring[i % RING] = jnp.clip(m_store, -32768, 32767).astype(rdt)
-            else:
-                ring[i % RING] = m_store
+            er = erank_ref[ii]
+
+            @pl.when(er >= 0)
+            def _():
+                if ring16:
+                    ring[er % ringc] = jnp.clip(
+                        m_store, -32768, 32767
+                    ).astype(rdt)
+                else:
+                    ring[er % ringc] = m_store
+
             prev_s[:, :] = m_store
 
             @pl.when(i == 0)
@@ -333,13 +350,14 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int):
 _cache: dict = {}
 
 
-def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8) -> int:
+def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
+            ringc: int = RING) -> int:
     """Largest power-of-two batch tile whose VMEM footprint fits.
 
-    Words per (Bt x Lpo) element: ring RING*(0.5|1), sub+eq 28 (x2
+    Words per (Bt x Lpo) element: ring ringc*(0.5|1), sub+eq 28 (x2
     buffers), gseq/gcol0/aux ~6, packed out 2R, scratch 8.
     """
-    words = RING * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 8
+    words = ringc * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 8
     bt = 64
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
@@ -364,8 +382,11 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
             from .poa_engine import sm_max_entry
 
             ring16 = sm_max_entry(table) * (n + Lpo) < 32000
+    ringc = 16
+    while ringc <= dg.compact_span:
+        ringc *= 2
     if Bt is None:
-        Bt = pick_bt(B, Lpo, ring16, R)
+        Bt = pick_bt(B, Lpo, ring16, R, ringc)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
     steps = -(-(n - 1) // R)
@@ -374,15 +395,15 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
     sink_rows = dg.sink_rows
     sink_pad = (len(sink_rows) + 7) // 8 * 8
 
-    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16)
+    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(sink_rows, R, n, ring16, Lp)
+        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=7,
+                    num_scalar_prefetch=10,
                     grid=(B // Bt, steps),
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
@@ -407,7 +428,7 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
-                        pltpu.VMEM((RING, Bt, Lpo),
+                        pltpu.VMEM((ringc, Bt, Lpo),
                                    jnp.int16 if ring16 else jnp.int32),
                         pltpu.VMEM((Bt, Lpo), jnp.int32),
                         pltpu.VMEM((Bt, Lpo), jnp.int32),
@@ -449,8 +470,10 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
     for k, srow in enumerate(sink_rows):
         sink_ord[srow] = k
     gnode = table[dg.codes, GAP]
+    minp_rank = jnp.take(dg.erank, jnp.maximum(dg.min_pred, 0))
     packed, score, lrow, lcol = fn(
-        dg.pred_idx.reshape(-1), dg.node_start.astype(jnp.int32), gnode,
+        dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1), dg.erank,
+        minp_rank, dg.node_start.astype(jnp.int32), gnode,
         dg.codes, dg.r_values, dg.min_pred, jnp.asarray(sink_ord),
         sub, eq, gseq, gcol0, aux,
     )

@@ -653,8 +653,8 @@ def fill_global_best(dg, table, seq, L, bta, g=None):
     if jax.default_backend() == "tpu" and g is not None:
         from . import pallas_poa, pallas_poa_global2
 
-        smem_ok = dg.n * (dg.max_preds + 6) * 4 < 700_000
-        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
+        smem_ok = dg.n * (2 * dg.max_preds + 8) * 4 < 700_000
+        if dg.compact_span < 256 and smem_ok:
             B = seq.shape[0]
             mesh, (seq, L, bta), _ = _pallas_batch_plan((seq, L, bta))
             # v2 (128-aligned lanes + hoisted cumsums + radix-4 chain +

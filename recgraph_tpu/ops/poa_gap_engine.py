@@ -649,8 +649,8 @@ def fill_gap_global_best(dg, table, seq, L, bta, o, e, g=None):
         from . import pallas_poa, pallas_gap_global
         from .poa_engine import _pallas_batch_plan, _shard_map_fill
 
-        smem_ok = dg.n * (dg.max_preds + 6) * 4 < 700_000
-        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
+        smem_ok = dg.n * (2 * dg.max_preds + 8) * 4 < 700_000
+        if dg.compact_span < 256 and smem_ok:
             B, Lp = seq.shape
             mesh, (seq, L, bta), _ = _pallas_batch_plan((seq, L, bta))
             fill = lambda s, l, b: pallas_gap_global.fill_gap_global_v2(
@@ -677,8 +677,8 @@ def fill_gap_local_best(dg, table, seq, L, o, e, g=None):
         from . import pallas_poa, pallas_gap_local
         from .poa_engine import _pallas_batch_plan, _shard_map_fill
 
-        smem_ok = dg.n * (dg.max_preds + 4) * 4 < 700_000
-        if pallas_poa.max_pred_span(g) < pallas_poa.RING and smem_ok:
+        smem_ok = dg.n * (2 * dg.max_preds + 6) * 4 < 700_000
+        if dg.compact_span < 256 and smem_ok:
             B = seq.shape[0]
             mesh, (seq, L), _ = _pallas_batch_plan((seq, L))
             fill = lambda s, l: pallas_gap_local.fill_gap_local_v2(
