@@ -407,7 +407,60 @@ _SUMMARY_K = 16
 _summary_cache: dict[tuple, object] = {}
 
 
-def _col_summary_fn(I, Tc):
+class _SplitGeometry:
+    """O(n) split-search geometry: dfs/dfe distances, compacted node
+    ids, and the onedge edge flags over interior rows.
+
+    Replaces the O(n^2) displacement/penalty/diff-node/onedge planes
+    (the reference materialises the full displacement matrix,
+    pathwise_graph.rs:284-305): the guided search recomputes penalty
+    chunks from these vectors on device, so modes 8/9 memory is O(n).
+    The dense planes are built lazily only for the
+    RECGRAPH_SPLIT_FULL=1 cross-check path.
+    """
+
+    def __init__(self, g, rg):
+        n = g.n
+        self.dfs = rg.distance_from_start_on_reverse()
+        self.dfe = g.distance_from_end()
+        ids = np.asarray(g.nodes_id_pos)
+        interior = np.arange(1, n - 1)
+        # equality-preserving compact ids (raw GFA ids may exceed int32)
+        self.ids_i = np.unique(
+            ids[interior], return_inverse=True
+        )[1].astype(np.int32)
+        self.fw_edge = ids[interior] != ids[interior + 1]
+        self.rv_edge = ids[interior] != ids[interior - 1]
+        self.dfs_i = self.dfs[interior]
+        self.dfe_i = self.dfe[interior]
+
+    def displacement(self, i: int, k: int) -> int:
+        """dms[i, k] for absolute positions (0 on the diagonal)."""
+        if i == k:
+            return 0
+        return int(
+            abs(int(self.dfs[i]) - int(self.dfs[k]))
+            + abs(int(self.dfe[i]) - int(self.dfe[k]))
+        )
+
+    def planes(self, base_rec_cost, multi_rec_cost):
+        """(penalty f32, diff_node, onedge) dense interior planes."""
+        disp = (
+            np.abs(self.dfs_i[:, None] - self.dfs_i[None, :])
+            + np.abs(self.dfe_i[:, None] - self.dfe_i[None, :])
+        )
+        penalty = (
+            np.float32(base_rec_cost)
+            + np.float32(multi_rec_cost) * disp.astype(np.float32)
+        )
+        diff_node = self.ids_i[:, None] != self.ids_i[None, :]
+        onedge = self.fw_edge[:, None] & self.rv_edge[None, :]
+        return (
+            jnp.asarray(penalty), jnp.asarray(diff_node), jnp.asarray(onedge)
+        )
+
+
+def _col_summary_fn(I, Tc, K):
     """Per-column plane summaries for a given column set.
 
     Same [B, I, Tc]-chunked evaluation as ``_split_search_fn`` but with
@@ -415,91 +468,118 @@ def _col_summary_fn(I, Tc):
     (col_max f32, edge_any, flat_edge, flat_plain) — everything the
     take/tie logic of best_alignment (:803-860) reads.  Used by the
     bound-guided search, which replays that logic on host.
+
+    The displacement penalty and the node-id masks are computed on the
+    fly per [I, Tc] chunk from the O(n) dfs/dfe/id vectors (chunks
+    outer, the K columns inner, so each chunk builds them once) —
+    modes 8/9 never materialise an O(n²) plane, which is what makes
+    10^5-node graphs feasible (the reference holds the full
+    displacement matrix, pathwise_graph.rs:284-305).
     """
     NC = -(-I // Tc)
     Ipad = NC * Tc
     BIG = jnp.int32(1 << 30)
 
     @jax.jit
-    def run(cols, fmax, farg, vf, rmax, rarg, vr, penalty, diff_node, onedge):
+    def run(cols, fmax, farg, vf, rmax, rarg, vr, dfs, dfe, ids, fwe, rve,
+            Rr):
         B, _, Lp = fmax.shape
         kpad = Ipad - I
         rmax_p = jnp.pad(rmax, ((0, 0), (0, kpad), (0, 0)))
         rarg_p = jnp.pad(rarg, ((0, 0), (0, kpad), (0, 0)))
         vr_p = jnp.pad(vr, ((0, 0), (0, kpad), (0, 0)))
-        penalty_p = jnp.pad(penalty, ((0, 0), (0, kpad)))
-        diff_node_p = jnp.pad(diff_node, ((0, 0), (0, kpad)))
-        onedge_p = jnp.pad(onedge, ((0, 0), (0, kpad)))
+        dfs_p = jnp.pad(dfs, (0, kpad))
+        dfe_p = jnp.pad(dfe, (0, kpad))
+        ids_p = jnp.pad(ids, (0, kpad), constant_values=-1)
+        rve_p = jnp.pad(rve, (0, kpad))
         iidx = jnp.arange(I, dtype=jnp.int32)
         tidx = jnp.arange(Tc, dtype=jnp.int32)
 
-        def one(carry, j):
-            fv = fmax[:, :, j].astype(jnp.float32)
-            fa = farg[:, :, j]
-            vfj = vf[:, :, j]
+        # per-column slices of the forward/reverse summaries [B, I|Ipad, K]
+        fvK = jnp.moveaxis(fmax[:, :, cols], 2, 0).astype(jnp.float32)
+        faK = jnp.moveaxis(farg[:, :, cols], 2, 0)
+        vfK = jnp.moveaxis(vf[:, :, cols], 2, 0)
+        rvK = jnp.moveaxis(rmax_p[:, :, cols], 2, 0).astype(jnp.float32)
+        raK = jnp.moveaxis(rarg_p[:, :, cols], 2, 0)
+        vrK = jnp.moveaxis(vr_p[:, :, cols], 2, 0)
 
-            def chunk(c, cc):
-                bestv, bflat, beflat, beany = cc
-                k0 = c * Tc
-                rvc = jax.lax.dynamic_slice(rmax_p, (0, k0, j), (B, Tc, 1))[..., 0]
-                rac = jax.lax.dynamic_slice(rarg_p, (0, k0, j), (B, Tc, 1))[..., 0]
-                vrc = jax.lax.dynamic_slice(vr_p, (0, k0, j), (B, Tc, 1))[..., 0]
-                penc = jax.lax.dynamic_slice(penalty_p, (0, k0), (I, Tc))
-                dnc = jax.lax.dynamic_slice(diff_node_p, (0, k0), (I, Tc))
-                onc = jax.lax.dynamic_slice(onedge_p, (0, k0), (I, Tc))
-                cand = (
-                    fv[:, :, None] + rvc[:, None, :].astype(jnp.float32)
-                    - penc[None]
-                )
+        def chunk(c, cc):
+            bestv, bflat, beflat, beany = cc                # [K, B] each
+            k0 = c * Tc
+            dfs_k = jax.lax.dynamic_slice(dfs_p, (k0,), (Tc,))
+            dfe_k = jax.lax.dynamic_slice(dfe_p, (k0,), (Tc,))
+            ids_k = jax.lax.dynamic_slice(ids_p, (k0,), (Tc,))
+            rve_k = jax.lax.dynamic_slice(rve_p, (k0,), (Tc,))
+            penc = Rr[0] + Rr[1] * (
+                jnp.abs(dfs[:, None] - dfs_k[None, :])
+                + jnp.abs(dfe[:, None] - dfe_k[None, :])
+            )                                               # f32[I, Tc]
+            dnc = ids[:, None] != ids_k[None, :]
+            onc = (fwe[:, None] & rve_k[None, :]).reshape(1, I * Tc)
+            flatv = (
+                iidx[:, None] * I + k0 + tidx[None, :]
+            ).reshape(1, I * Tc)
+
+            def col_one(bv_t, bf_t, bef_t, bea_t, fv_t, fa_t, vf_t, rv_t,
+                        ra_t, vr_t):
+                rvc = jax.lax.dynamic_slice(rv_t, (0, k0), (B, Tc))
+                rac = jax.lax.dynamic_slice(ra_t, (0, k0), (B, Tc))
+                vrc = jax.lax.dynamic_slice(vr_t, (0, k0), (B, Tc))
+                cand = fv_t[:, :, None] + rvc[:, None, :] - penc[None]
                 valid = (
                     dnc[None]
-                    & (fa[:, :, None] != rac[:, None, :])
-                    & vfj[:, :, None]
+                    & (fa_t[:, :, None] != rac[:, None, :])
+                    & vf_t[:, :, None]
                     & vrc[:, None, :]
                 )
                 cv = jnp.where(valid, cand, NEGF).reshape(B, I * Tc)
-                flatv = (
-                    iidx[:, None] * I + k0 + tidx[None, :]
-                ).reshape(1, I * Tc)
                 cmax = cv.max(axis=1)
                 atm = cv == cmax[:, None]
                 fmin = jnp.min(jnp.where(atm, flatv, BIG), axis=1)
-                ate = atm & onc.reshape(1, I * Tc)
+                ate = atm & onc
                 eany = ate.any(axis=1)
                 femin = jnp.min(jnp.where(ate, flatv, BIG), axis=1)
-                gtc = cmax > bestv
-                eqc = cmax == bestv
-                bflat = jnp.where(
-                    gtc, fmin, jnp.where(eqc, jnp.minimum(bflat, fmin), bflat)
+                gtc = cmax > bv_t
+                eqc = cmax == bv_t
+                bf_t = jnp.where(
+                    gtc, fmin, jnp.where(eqc, jnp.minimum(bf_t, fmin), bf_t)
                 )
-                beflat = jnp.where(
+                bef_t = jnp.where(
                     gtc, femin,
-                    jnp.where(eqc, jnp.minimum(beflat, femin), beflat),
+                    jnp.where(eqc, jnp.minimum(bef_t, femin), bef_t),
                 )
-                beany = jnp.where(gtc, eany, beany | (eqc & eany))
-                return (jnp.maximum(bestv, cmax), bflat, beflat, beany)
+                bea_t = jnp.where(gtc, eany, bea_t | (eqc & eany))
+                return jnp.maximum(bv_t, cmax), bf_t, bef_t, bea_t
 
-            col_max, flat_plain, flat_edge, edge_any = jax.lax.fori_loop(
-                0, NC, chunk,
-                (
-                    jnp.full((B,), NEGF),
-                    jnp.full((B,), BIG),
-                    jnp.full((B,), BIG),
-                    jnp.zeros((B,), bool),
-                ),
+            # columns are independent: sequentially map the per-column
+            # update over the K axis (lax.map = one compiled program,
+            # no K-batched intermediates; penc/dnc/onc stay hoisted)
+            bestv, bflat, beflat, beany = jax.lax.map(
+                lambda a: col_one(*a),
+                (bestv, bflat, beflat, beany, fvK, faK, vfK, rvK, raK, vrK),
             )
-            flat_edge = jnp.where(edge_any, flat_edge, 0)
-            flat_plain = jnp.minimum(flat_plain, I * I - 1)
-            return carry, (col_max, edge_any, flat_edge, flat_plain)
+            return (bestv, bflat, beflat, beany)
 
-        _, outs = jax.lax.scan(one, 0, cols)
-        return tuple(jnp.moveaxis(o, 0, 1) for o in outs)   # [B, K] each
+        col_max, flat_plain, flat_edge, edge_any = jax.lax.fori_loop(
+            0, NC, chunk,
+            (
+                jnp.full((K, B), NEGF),
+                jnp.full((K, B), BIG),
+                jnp.full((K, B), BIG),
+                jnp.zeros((K, B), bool),
+            ),
+        )
+        flat_edge = jnp.where(edge_any, flat_edge, 0)
+        flat_plain = jnp.minimum(flat_plain, I * I - 1)
+        return tuple(
+            jnp.moveaxis(o, 0, 1)
+            for o in (col_max, edge_any, flat_edge, flat_plain)
+        )                                                   # [B, K] each
 
     return run
 
 
-def _run_split_guided(inputs, penalty, diff_node, onedge, active_np,
-                      init_best, dfs_i, dfe_i, base_rec_cost,
+def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
                       multi_rec_cost, I, Lp):
     """Bound-guided EXACT split search.
 
@@ -546,9 +626,9 @@ def _run_split_guided(inputs, penalty, diff_node, onedge, active_np,
     if B > SB:
         outs = [
             _run_split_guided(
-                tuple(x[b0 : b0 + SB] for x in inputs), penalty, diff_node,
-                onedge, active_np[b0 : b0 + SB], init_best[b0 : b0 + SB],
-                dfs_i, dfe_i, base_rec_cost, multi_rec_cost, I, Lp,
+                tuple(x[b0 : b0 + SB] for x in inputs), geom,
+                active_np[b0 : b0 + SB], init_best[b0 : b0 + SB],
+                base_rec_cost, multi_rec_cost, I, Lp,
             )
             for b0 in range(0, B, SB)
         ]
@@ -556,7 +636,7 @@ def _run_split_guided(inputs, penalty, diff_node, onedge, active_np,
 
     r = np.float32(multi_rec_cost)
     signs = np.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], np.float32)
-    d = np.stack([dfs_i, dfe_i]).astype(np.float32)
+    d = np.stack([geom.dfs_i, geom.dfe_i]).astype(np.float32)
     wf = jnp.asarray(-(r * signs @ d))
     wr = jnp.asarray(r * signs @ d)
     ub = np.asarray(jax.device_get(_column_ub(fmax, vf, rmax, vr, wf, wr)))
@@ -569,11 +649,19 @@ def _run_split_guided(inputs, penalty, diff_node, onedge, active_np,
     Tc = I if plane <= (1 << 28) else max(
         128, ((1 << 28) // (4 * B * I)) // 128 * 128
     )
-    key = (I, Tc)
+    key = (I, Tc, _SUMMARY_K)
     summarize = _summary_cache.get(key)
     if summarize is None:
-        summarize = _col_summary_fn(I, Tc)
+        summarize = _col_summary_fn(I, Tc, _SUMMARY_K)
         _summary_cache[key] = summarize
+    dfs_j = jnp.asarray(geom.dfs_i.astype(np.float32))
+    dfe_j = jnp.asarray(geom.dfe_i.astype(np.float32))
+    ids_j = jnp.asarray(geom.ids_i)
+    fwe_j = jnp.asarray(geom.fw_edge)
+    rve_j = jnp.asarray(geom.rv_edge)
+    Rr = jnp.asarray(
+        [np.float32(base_rec_cost), np.float32(multi_rec_cost)], jnp.float32
+    )
 
     M = np.full(B, -np.inf, np.float32)
     thresh = np.maximum(M, init_best)
@@ -592,7 +680,7 @@ def _run_split_guided(inputs, penalty, diff_node, onedge, active_np,
             np.asarray(jax.device_get(x))
             for x in summarize(
                 jnp.asarray(cols), fmax, farg, vf, rmax, rarg, vr,
-                penalty, diff_node, onedge,
+                dfs_j, dfe_j, ids_j, fwe_j, rve_j, Rr,
             )
         )
         for t, j in enumerate(take):
@@ -644,24 +732,27 @@ def _run_split_guided(inputs, penalty, diff_node, onedge, active_np,
     return best, taken, fen, rsn, fpo, rpo, col
 
 
-def _run_split(split, inputs, penalty, diff_node, onedge, active_np,
-               init_best, dfs, dfe, base_rec_cost, multi_rec_cost, n, Lp):
+def _run_split(inputs, geom, active_np, init_best, base_rec_cost,
+               multi_rec_cost, n, Lp):
     """Split search dispatcher; returns numpy outputs.
 
-    The bound-guided search (``_run_split_guided``) is the default;
-    ``RECGRAPH_SPLIT_FULL=1`` forces the original full column scan
-    (kept as the cross-check and for degenerate bound cases).
+    The bound-guided search (``_run_split_guided``, O(n) memory) is the
+    default; ``RECGRAPH_SPLIT_FULL=1`` forces the original full column
+    scan over the dense planes (kept as the cross-check and for
+    degenerate bound cases — the only path that still materialises
+    O(n^2) state).
     """
     import os
 
     if Lp - 2 > 8 and not os.environ.get("RECGRAPH_SPLIT_FULL"):
         return _run_split_guided(
-            inputs, penalty, diff_node, onedge, active_np, init_best,
-            dfs[1 : n - 1], dfe[1 : n - 1], base_rec_cost, multi_rec_cost,
-            n - 2, Lp,
+            inputs, geom, active_np, init_best,
+            base_rec_cost, multi_rec_cost, n - 2, Lp,
         )
+    penalty, diff_node, onedge = geom.planes(base_rec_cost, multi_rec_cost)
+    split = _get_split(n - 2, active_np.shape[0])
     cols = _candidate_columns(
-        inputs, dfs[1 : n - 1], dfe[1 : n - 1], base_rec_cost,
+        inputs, geom.dfs_i, geom.dfe_i, base_rec_cost,
         multi_rec_cost, active_np, init_best, Lp,
     )
     if cols is None:
@@ -740,29 +831,16 @@ def run_batch(
     n, P = dg.n, dg.paths_number
     I = n - 2
 
-    # displacement penalty plane (pathwise_graph.rs:284-305) and the
-    # onedge/diff-node candidate masks (:837,:845-852)
-    dms = nodes_displacement_matrix(g, rg)
-    dfe = g.distance_from_end()
-    dfs = rg.distance_from_start_on_reverse()
-    ids = g.nodes_id_pos
-    interior = np.arange(1, n - 1)
-    penalty = (
-        np.float32(base_rec_cost)
-        + np.float32(multi_rec_cost) * dms[1 : n - 1, 1 : n - 1].astype(np.float32)
-    )
-    fw_edge = ids[interior] != ids[interior + 1]
-    rv_edge = ids[interior] != ids[interior - 1]
-    onedge = jnp.asarray(fw_edge[:, None] & rv_edge[None, :])
-    diff_node = jnp.asarray(ids[interior][:, None] != ids[interior][None, :])
-    penalty = jnp.asarray(penalty)
+    # split-search geometry: O(n) vectors only (the penalty plane and
+    # the onedge/diff-node masks, :837,:845-852, are recomputed in
+    # chunks on device — no O(n^2) materialisation)
+    geom = _SplitGeometry(g, rg)
     paths_on = jnp.asarray(g.paths_nodes)
 
     records: list[GafRecord] = []
     Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
-    split = _get_split(I, min(chunk, len(sequences)))
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
@@ -795,13 +873,12 @@ def run_batch(
             (jcol[None, :] >= oob[:, None]) & (jcol[None, :] < (Lnp - oob)[:, None])
         )
         best, taken, fen, rsn, fp, rp, rec_col = _run_split(
-            split,
             (
                 fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
                 rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
             ),
-            penalty, diff_node, onedge, active_np, init_best,
-            dfs, dfe, base_rec_cost, multi_rec_cost, n, seq.shape[1],
+            geom, active_np, init_best,
+            base_rec_cost, multi_rec_cost, n, seq.shape[1],
         )
 
         fp_final = np.where(taken, fp, base_paths)
@@ -845,7 +922,8 @@ def run_batch(
                         fplane, rplane, g, rg, s, sm,
                         int(fp_final[b]), int(rp_final[b]),
                         int(fen[b]), int(rsn[b]), int(rec_col[b]),
-                        (float(best[b]), int(dms[fen[b], rsn[b]])),
+                        (float(best[b]),
+                         geom.displacement(int(fen[b]), int(rsn[b]))),
                         global_mode=(mode == 8),
                     )
                 )
@@ -1008,19 +1086,10 @@ def run_batch_walks(
     lnz = g.lnz
     ids = g.nodes_id_pos
 
-    dms = nodes_displacement_matrix(g, rg)
-    dfe = g.distance_from_end()
-    dfs = rg.distance_from_start_on_reverse()
-    interior = np.arange(1, n - 1)
-    penalty = (
-        np.float32(base_rec_cost)
-        + np.float32(multi_rec_cost) * dms[1 : n - 1, 1 : n - 1].astype(np.float32)
-    )
-    fw_edge = ids[interior] != ids[interior + 1]
-    rv_edge = ids[interior] != ids[interior - 1]
-    onedge = jnp.asarray(fw_edge[:, None] & rv_edge[None, :])
-    diff_node = jnp.asarray(ids[interior][:, None] != ids[interior][None, :])
-    penalty = jnp.asarray(penalty)
+    # split-search geometry: O(n) vectors only (the penalty plane and
+    # the onedge/diff-node masks, :837,:845-852, are recomputed in
+    # chunks on device — no O(n^2) materialisation)
+    geom = _SplitGeometry(g, rg)
     paths_on = jnp.asarray(g.paths_nodes)
     rep_f, pred_f = pathwise_meta(g)
     pred_f_full = jnp.asarray(pred_f)                      # [n, P] fwd preds
@@ -1031,7 +1100,6 @@ def run_batch_walks(
     Lp_all = _align_lp(sequences)
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
-    split = _get_split(I, min(chunk, len(sequences)))
     W = n + Lp_all + 4
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]
@@ -1065,13 +1133,12 @@ def run_batch_walks(
             (jcol[None, :] >= oob[:, None]) & (jcol[None, :] < (Lnp - oob)[:, None])
         )
         best, taken, fen, rsn, fp, rp, rec_col = _run_split(
-            split,
             (
                 fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
                 rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
             ),
-            penalty, diff_node, onedge, active_np, init_best,
-            dfs, dfe, base_rec_cost, multi_rec_cost, n, seq.shape[1],
+            geom, active_np, init_best,
+            base_rec_cost, multi_rec_cost, n, seq.shape[1],
         )
         fp_final = np.where(taken, fp, base_paths)
         rp_final = np.where(taken, rp, base_paths)
@@ -1169,7 +1236,8 @@ def run_batch_walks(
                         (fw_cig, fw_h, fw_ps, fw_len, int(fstop[b])),
                         rv, g, int(fp_final[b]), int(rp_final[b]),
                         int(fen[b]), int(rsn[b]), int(rev_end[b]),
-                        (float(best[b]), int(dms[fen[b], rsn[b]])),
+                        (float(best[b]),
+                         geom.displacement(int(fen[b]), int(rsn[b]))),
                         len(s),
                     )
                 )

@@ -170,10 +170,12 @@ def test_split_search_pruning_exact(corpus, monkeypatch):
 
 
 def test_split_search_chunked_exact(corpus, monkeypatch):
-    """The chunked candidate plane (large-graph path) must reproduce
-    the single-chunk scan exactly, including first-best/edge ties."""
+    """The chunked candidate plane (full-scan cross-check path) must
+    reproduce the single-chunk scan exactly, including
+    first-best/edge ties."""
     seqs, names, g, sm = corpus
     rg = g.reverse()
+    monkeypatch.setenv("RECGRAPH_SPLIT_FULL", "1")
     full = recombination_engine.run_batch_walks(8, seqs, g, rg, sm, 4, 0.1, 0.5)
     monkeypatch.setattr(
         recombination_engine, "_get_split",
@@ -183,3 +185,49 @@ def test_split_search_chunked_exact(corpus, monkeypatch):
         8, seqs, g, rg, sm, 4, 0.1, 0.5
     )
     assert [r.to_string() for r in chunked] == [r.to_string() for r in full]
+
+
+def test_split_search_no_dense_planes(corpus, monkeypatch):
+    """The modes-8/9 device path must never materialise the O(n^2)
+    displacement matrix (guided split computes penalty chunks from the
+    O(n) dfs/dfe vectors; the GAF comment displacement comes from the
+    same vectors).  Feasibility at 10^5-node scale depends on this."""
+    seqs, names, g, sm = corpus
+    rg = g.reverse()
+    import recgraph_tpu.ops.recombination_engine as re_mod
+
+    def boom(*a, **k):
+        raise AssertionError("dense displacement matrix materialised")
+
+    monkeypatch.setattr(re_mod, "nodes_displacement_matrix", boom)
+    recs = re_mod.run_batch_walks(8, seqs[:4], g, rg, sm, 4, 0.1, 1.0)
+    dms = nodes_displacement_matrix(g, rg)
+    for i, s in enumerate(seqs[:4]):
+        r_o = ro.exec_mode(8, s, g, rg, sm, 4, 0.1, dms, 1.0)
+        assert r_o.to_string() == recs[i].to_string()
+
+
+def test_split_search_midsize_graph_oracle_identical(tmp_path):
+    """Mode 8 on a ~4k-row synthetic pangenome, device vs oracle —
+    exercises the guided split + O(n) geometry well past the example
+    corpus size (a 31k-row graph runs the same path; its ~11.5 GB of
+    dense planes made it infeasible before)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic import make
+
+    d = str(tmp_path)
+    make(d, n_back=1200, n_reads=2, seed=7)
+    from recgraph_tpu.io import fasta, gfa
+
+    parsed = gfa.parse_gfa(os.path.join(d, "graph.gfa"))
+    g = PathGraph.from_gfa(parsed)
+    rg = g.reverse()
+    sm = ScoreMatrix.create("none", 2, -4)
+    seqs, _ = fasta.get_sequences(os.path.join(d, "reads.fa"))
+    recs = recombination_engine.run_batch_walks(8, seqs[:1], g, rg, sm, 4, 0.1, 0.5)
+    dms = nodes_displacement_matrix(g, rg)
+    r_o = ro.exec_mode(8, seqs[0], g, rg, sm, 4, 0.1, dms, 0.5)
+    assert r_o.to_string() == recs[0].to_string()
