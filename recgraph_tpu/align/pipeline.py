@@ -374,7 +374,6 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
     elif mode in (8, 9):
         g = PathGraph.from_gfa(parsed, is_reversed=False)
         rg = g.reverse()
-        dms = nodes_displacement_matrix(g, rg)
         if opts.engine == "jax":
             from ..ops import recombination_engine
 
@@ -392,6 +391,9 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
                 rec.query_name = names[i]
                 writer.write(rec.to_string(), i)
         else:
+            # only the scalar oracle needs the dense O(n^2) displacement
+            # matrix (the device path works from O(n) dfs/dfe vectors)
+            dms = nodes_displacement_matrix(g, rg)
             for i, seq in enumerate(sequences):
                 rec = recombination.exec_mode(
                     mode,
