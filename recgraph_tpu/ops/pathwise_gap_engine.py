@@ -732,7 +732,11 @@ def _endings_gap_semi(finalcol_b, g: PathGraph) -> tuple[int, int]:
 def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
               o: int, e: int, chunk_bytes=1 << 29) -> list[tuple[int, str]]:
     """Modes 6/7 on device: returns [(best_path, printed line), ...]
-    matching oracle exec_gap_global / exec_gap_semiglobal exactly."""
+    matching oracle exec_gap_global / exec_gap_semiglobal exactly.
+
+    Traceback runs on device (:func:`_walk_gap`) — only compact walks
+    cross to the host, not the four [n, Lp] planes."""
+    from ..graph.pathgraph import pathwise_meta
     from .encode import encode_reads
     from .pathwise_engine import _align_lp
 
@@ -744,28 +748,211 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
     per_read = 3 * n * P * Lp_all * 4
     chunk = max(1, int(chunk_bytes // per_read))
     alphas_j = jnp.asarray(meta.alphas)
+    node_start_j = jnp.asarray(meta.node_start)
+    _, pred_of = pathwise_meta(g)                          # [n, P]
+    pred_of_T = jnp.asarray(pred_of.T)                     # [P, n]
+    # the walk's start node for mode 6: F's last pred covering bp
+    f_pred_of = np.zeros(P, dtype=np.int32)
+    for node, paths in g.preds_and_paths(n - 1):
+        f_pred_of[paths] = node
+    W = 2 * (n + Lp_all) + 8
     for c0 in range(0, len(sequences), chunk):
         chunk_seqs = sequences[c0 : c0 + chunk]
+        B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         Dm, X, Y = fill_gap_device(g, sm, seq, o, e, semiglobal, meta)
         finalcol = np.asarray(
             jax.device_get(final_gap_column(Dm, L))
         )                                                   # [B, n, P]
         bps, nodes = [], []
-        for b in range(len(chunk_seqs)):
+        for b in range(B):
             if semiglobal:
                 node, bp = _endings_gap_semi(finalcol[b], g)
             else:
                 bp, node = _endings_gap_global(finalcol[b], g), 0
             bps.append(bp)
             nodes.append(node)
-        bp_j = jnp.asarray(np.asarray(bps, dtype=np.int32))
-        planes = jax.device_get(
-            extract_gap_planes(Dm, X, Y, alphas_j, bp_j)
-        )
+        bp_np = np.asarray(bps, dtype=np.int32)
+        bp_j = jnp.asarray(bp_np)
+        planes = extract_gap_planes(Dm, X, Y, alphas_j, bp_j)
         del Dm, X, Y
+        start_i = np.asarray(
+            [nodes[b] if semiglobal else int(f_pred_of[bps[b]])
+             for b in range(B)], dtype=np.int32,
+        )
+        pred_of_bp = jnp.take(pred_of_T, bp_j, axis=0)     # [B, n]
+        dirs, ks, stop_i, errs = _walk_gap(
+            *planes, alphas_j, bp_j, node_start_j, pred_of_bp,
+            jnp.asarray(start_i), L, global_mode=not semiglobal,
+            max_steps=W,
+        )
+        del planes
+        kmax = min(W, (int(jax.device_get(ks.max())) + 255) // 256 * 256)
+        dirs, ks, stop_i, errs = jax.device_get(
+            (dirs[:, :kmax], ks, stop_i, errs)
+        )
         for b, s in enumerate(chunk_seqs):
-            pl = tuple(np.asarray(p[b][:, : len(s)]) for p in planes)
-            line = walk_gap_planes(pl, g, bps[b], semiglobal, nodes[b])
+            if errs[b]:
+                raise RuntimeError(
+                    "gap traceback left the best path "
+                    "(the reference hangs/crashes on such inputs)"
+                )
+            cig = [_DIR_CHARS[int(c)] for c in dirs[b, : int(ks[b])]]
+            cig.reverse()
+            if semiglobal:
+                starting = _count_to_source(g, int(stop_i[b]), bps[b])
+                final = _count_to_source(g, nodes[b], bps[b])
+                line = f"{build_cigar(cig)}\t({starting} {final})"
+            else:
+                if cig:
+                    cig.pop()  # quirk: last move dropped (output.rs:304)
+                line = build_cigar(cig)
             out.append((bps[b], line))
     return out
+
+
+def _count_to_source(g: PathGraph, i: int, bp: int) -> int:
+    """Semiglobal tail node counts (output.rs:413-445)."""
+    nwp = g.node_start
+    steps = 0
+    while i > 0:
+        if nwp[i]:
+            p = _pred_on_path(g, i, bp)
+            if p is None:
+                raise RuntimeError(
+                    "semiglobal tail left the best path "
+                    "(the reference loops forever on such inputs)"
+                )
+            i = p
+        else:
+            i -= 1
+        steps += 1
+    return steps
+
+
+# ---------------------------------------------------------------------------
+# on-device traceback (mirrors walk_gap_planes; compact walks instead of
+# 4 fetched planes — same ~100x transfer cut as the other modes)
+# ---------------------------------------------------------------------------
+
+# emitted codes
+_D, _LOWD, _L, _U = 1, 2, 3, 4
+_DIR_CHARS = {_D: "D", _LOWD: "d", _L: "L", _U: "U"}
+
+
+@functools.partial(jax.jit, static_argnames=("global_mode", "max_steps"))
+def _walk_gap(dpm_bp, dpm_al, x_bp, y_bp, alphas, bp, node_start,
+              pred_of_bp, start_i, L, global_mode, max_steps):
+    """Batched delta-form gap walk over the four device planes.
+
+    One phase applies per read per iteration (0 = main dispatch,
+    1 = U gap run, 2 = L gap run, 3 = trailing L, 4 = trailing U for
+    mode 6); phase transitions may burn an iteration without emitting,
+    so ``max_steps`` is sized ~2(n + Lp).  Emission order matches the
+    host walk (end -> start), including the predecessor-retention
+    quirk; ``err`` marks the degenerate left-the-best-path case where
+    the reference itself hangs/crashes (callers raise).
+    """
+    B, n, Lp = dpm_bp.shape
+    dbf = dpm_bp.reshape(B, n * Lp)
+    daf = dpm_al.reshape(B, n * Lp)
+    xbf = x_bp.reshape(B, n * Lp)
+    ybf = y_bp.reshape(B, n * Lp)
+    bidx = jnp.arange(B)
+
+    def at(flat, i, j):
+        return jnp.take_along_axis(flat, (i * Lp + j)[:, None], 1)[:, 0]
+
+    def abs_at(i, j):
+        reb = jnp.take(alphas, i) != bp
+        return at(dbf, i, j) + jnp.where(reb, at(daf, i, j), 0)
+
+    def body(_, st):
+        i, j, phase, retained, k, done, err, dirs = st
+        live = ~done & ~err
+        is_start = node_start[i]
+        pred_e = jnp.take_along_axis(pred_of_bp, i[:, None], 1)[:, 0]
+        covered = pred_e >= 0
+
+        # ---- phase 0: main loop ----
+        p_main = live & (phase == 0)
+        in_main = p_main & (i > 0) & (j > 0)
+        to_tail = p_main & ~((i > 0) & (j > 0))
+        zero_case = is_start & ~covered
+        src_row = jnp.where(is_start, jnp.maximum(pred_e, 0), i - 1)
+        d = jnp.where(zero_case, 0, abs_at(src_row, j - 1))
+        u = jnp.where(zero_case, 0, abs_at(src_row, j))
+        l = jnp.where(zero_case, 0, abs_at(i, j - 1))
+        mx = jnp.maximum(jnp.maximum(d, u), l)
+        is_d = mx == d
+        is_u = ~is_d & (mx == u)
+        curr = abs_at(i, j)
+        code_main = jnp.where(
+            is_d, jnp.where(curr < d, _LOWD, _D),
+            jnp.where(is_u, _U, _L),
+        )
+        predecessor = jnp.where(is_start & covered, pred_e, -1)
+        step_i = jnp.where(predecessor >= 0, predecessor, i - 1)
+
+        # ---- phase 1: U gap run ----
+        p_urun = live & (phase == 1)
+        u_more = at(dbf, i, j) < at(ybf, i, j)
+        p_new = jnp.where(
+            is_start, jnp.where(covered, pred_e, retained), i - 1
+        )
+        u_err = p_urun & u_more & (p_new < 0)
+        u_emit = p_urun & u_more & ~u_err
+
+        # ---- phase 2: L gap run ----
+        p_lrun = live & (phase == 2)
+        l_more = at(dbf, i, j) < at(xbf, i, j)
+        l_emit = p_lrun & l_more
+
+        # ---- phase 3: trailing L ----
+        p_ltail = live & (phase == 3)
+        lt_emit = p_ltail & (j > 0)
+
+        # ---- phase 4: trailing U (mode 6) ----
+        p_utail = live & (phase == 4)
+        ut_emit = p_utail & (i > 0)
+
+        # ---- merge: emission, movement, phase, termination ----
+        emit = in_main | u_emit | l_emit | lt_emit | ut_emit
+        code = jnp.where(in_main, code_main,
+                         jnp.where(u_emit, _U,
+                                   jnp.where(l_emit | lt_emit, _L, _U)))
+        i_new = jnp.where(in_main & (is_d | is_u), step_i, i)
+        i_new = jnp.where(u_emit, jnp.maximum(p_new, 0), i_new)
+        i_new = jnp.where(ut_emit, i - 1, i_new)   # no-pred tail quirk
+        j_dec = (in_main & (is_d | ~(is_d | is_u))) | l_emit | lt_emit
+        j_new = jnp.where(j_dec, j - 1, i * 0 + j)
+        phase_new = jnp.where(
+            in_main, jnp.where(is_d, 0, jnp.where(is_u, 1, 2)), phase
+        )
+        phase_new = jnp.where(to_tail, 3, phase_new)
+        phase_new = jnp.where(p_urun & ~u_more, 0, phase_new)
+        phase_new = jnp.where(p_lrun & ~l_more, 0, phase_new)
+        tail_done = p_ltail & (j == 0)
+        phase_new = jnp.where(
+            tail_done, jnp.where(jnp.bool_(global_mode), 4, phase_new),
+            phase_new,
+        )
+        done_new = done | (tail_done & ~jnp.bool_(global_mode)) | (
+            p_utail & (i == 0)
+        )
+        retained_new = jnp.where(in_main & is_u, predecessor, retained)
+        retained_new = jnp.where(u_emit, p_new, retained_new)
+        err_new = err | u_err
+
+        dirs = dirs.at[bidx, k].set(jnp.where(emit, code, dirs[bidx, k]))
+        k = k + emit.astype(jnp.int32)
+        return i_new, j_new, phase_new, retained_new, k, done_new, err_new, dirs
+
+    z = jnp.zeros((B,), jnp.int32)
+    dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
+    st = (start_i, L - 1, z, z - 1, z, jnp.zeros((B,), bool),
+          jnp.zeros((B,), bool), dirs0)
+    i, j, phase, retained, k, done, err, dirs = jax.lax.fori_loop(
+        0, max_steps, body, st
+    )
+    return dirs, k, i, err
