@@ -47,22 +47,29 @@ VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16M scoped limit
 RADIX = 4
 
 
-def _chain_radix4(x, jcol, Lp):
-    """Inclusive prefix max over lanes, radix-RADIX Kogge-Stone."""
+def _chain_radix4(x, jloc, S):
+    """Inclusive prefix max over lanes, radix-RADIX Kogge-Stone.
+
+    ``jloc``/``S``: segment-local column index and segment width — with
+    read packing (several reads per lane-row) the jloc >= d guards stop
+    every roll at segment boundaries, so each read's prefix chain stays
+    independent.  Unpacked: jloc = jcol, S = Lp (unchanged maths).
+    """
     k = 1
-    while k < Lp:
+    while k < S:
         cands = []
         for m in range(1, RADIX):
             d = m * k
-            if d < Lp:
-                cands.append(jnp.where(jcol >= d, pltpu.roll(x, d, 1), NEG))
+            if d < S:
+                cands.append(jnp.where(jloc >= d, pltpu.roll(x, d, 1), NEG))
         for c in cands:
             x = jnp.maximum(x, c)
         k *= RADIX
     return x
 
 
-def _make_kernel(R: int, steps: int, ring16: bool, ringc: int):
+def _make_kernel(R: int, steps: int, ring16: bool, ringc: int,
+                 seg: int, npack: int):
     rdt = jnp.int16 if ring16 else jnp.int32
 
     def kernel(
@@ -91,7 +98,8 @@ def _make_kernel(R: int, steps: int, ring16: bool, ringc: int):
         n = codes_ref.shape[0]
         Pm = pred_idx_ref.shape[0] // n
         jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lp), 1)
-        j0 = jcol == 0
+        jloc = jcol % seg if npack > 1 else jcol
+        j0 = jloc == 0
         gseq = gseq_ref[:, :]
         G = G_ref[:, :]
         valid = valid_ref[:, :] != 0
@@ -159,7 +167,7 @@ def _make_kernel(R: int, steps: int, ring16: bool, ringc: int):
             # (max,+) prefix chain for the in-row L dependency
             A = jnp.maximum(jnp.maximum(d_val, u_val), 0)
             A = jnp.where(j0, 0, A)
-            x = _chain_radix4(A - G, jcol, Lp)
+            x = _chain_radix4(A - G, jloc, seg)
             m_row = G + x
             m_row = jnp.where(valid, m_row, NEG)
             m_row = jnp.where(j0, 0, m_row)
@@ -207,14 +215,18 @@ def _make_kernel(R: int, steps: int, ring16: bool, ringc: int):
         @pl.when(step == steps - 1)
         def _():
             bvp = best[0]
-            rmax = jnp.max(bvp, axis=1, keepdims=True)
-            # row-major first best: smallest (row, col) among max lanes
-            key = jnp.min(
-                jnp.where(bvp == rmax, best[1] * Lp + jcol, 1 << 30),
-                axis=1, keepdims=True,
-            )
-            bv_ref[:, :] = rmax
-            key_ref[:, :] = key
+            # per-segment (per packed read) reduction; row-major first
+            # best: smallest (row, col) among a segment's max lanes
+            for s in range(npack):
+                in_seg = (jcol >= s * seg) & (jcol < (s + 1) * seg)
+                bs = jnp.where(in_seg, bvp, NEG)
+                rmax = jnp.max(bs, axis=1, keepdims=True)
+                key = jnp.min(
+                    jnp.where(bs == rmax, best[1] * Lp + jcol, 1 << 30),
+                    axis=1, keepdims=True,
+                )
+                bv_ref[:, s : s + 1] = rmax
+                key_ref[:, s : s + 1] = key
 
     return kernel
 
@@ -239,7 +251,7 @@ _cache: dict = {}
 
 
 def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
-                  ring16=None, align=True):
+                  ring16=None, align=True, pack=1):
     """Drop-in for fill_local_v2 (same outputs and packed layout).
 
     Pads the lane extent to a multiple of 128 internally (physically
@@ -247,9 +259,50 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
     width with batch axis 1 — pad lanes hold O-direction cells that no
     walk can enter (their scores are NEG, never the argmax).
 
+    ``pack`` > 1 packs that many reads per lane-row (segment width =
+    the incoming per-read width; pack*width must be a 128 multiple):
+    the chain guards stop at segment boundaries, so per-read results
+    are unchanged while the latency-bound chain serialises over
+    pack-times fewer rows.  Outputs keep per-READ shapes
+    (packed[n_pad, B, S]) — the unpack is a free reshape.
+
     Returns (score[B], best_i[B], best_j[B], packed[n_pad, B, Lp128]).
     """
     B, Lp = seq.shape
+    if pack > 1:
+        S = Lp
+        if (pack * S) % 128 or B % pack:
+            raise ValueError(f"pack={pack} needs pack*{S} % 128 == 0 "
+                             f"and batch {B} % pack == 0")
+        from ..scoring import GAP as _GAP
+
+        codes7 = jnp.arange(7, dtype=jnp.int32)
+        tT = table.T
+        sub = tT[codes7][:, seq].reshape(7, B // pack, pack * S)
+        eq = (
+            (seq[None, :, :] == codes7[:, None, None]).astype(jnp.int32)
+        ).reshape(7, B // pack, pack * S)
+        gseq = table[seq, _GAP]
+        G = jnp.cumsum(gseq, axis=1).reshape(B // pack, pack * S)
+        gseq = gseq.reshape(B // pack, pack * S)
+        jcol1 = jnp.arange(S, dtype=jnp.int32)
+        valid = (
+            (jcol1[None, :] < L[:, None]).astype(jnp.int32)
+        ).reshape(B // pack, pack * S)
+        out = _call_v5(
+            dg, table, sub, eq, gseq, G, valid, B // pack, pack * S,
+            Bt, R, interpret, ring16, seg=S, npack=pack,
+        )
+        bv, bkey, packed = out
+        LpT = pack * S
+        bv = bv.reshape(B)
+        key = bkey.reshape(B)
+        offs = (jnp.arange(B, dtype=jnp.int32) % pack) * S
+        best_i = key // LpT
+        best_j = key % LpT - offs
+        n_pad = packed.shape[0]
+        packed = packed.reshape(n_pad, B, S)
+        return bv, best_i, best_j, packed
     Lp128 = -(-Lp // 128) * 128 if align else Lp
     if Lp128 != Lp:
         from .. import scoring
@@ -257,31 +310,56 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
         seq = jnp.pad(seq, ((0, 0), (0, Lp128 - Lp)),
                       constant_values=scoring.N)
         Lp = Lp128
+    codes7 = jnp.arange(7, dtype=jnp.int32)
+    tT = table.T                                   # (seq, lnz) order
+    sub = tT[codes7][:, seq]
+    eq = (seq[None, :, :] == codes7[:, None, None]).astype(jnp.int32)
+    gseq = table[seq, GAP]
+    G = jnp.cumsum(gseq, axis=1)
+    jcol = jnp.arange(Lp, dtype=jnp.int32)
+    valid = (jcol[None, :] < L[:, None]).astype(jnp.int32)
+    bv, bkey, packed = _call_v5(
+        dg, table, sub, eq, gseq, G, valid, B, Lp, Bt, R, interpret,
+        ring16, seg=Lp, npack=1,
+    )
+    bv = bv[:, 0]
+    bkey = bkey[:, 0]
+    return bv, bkey // Lp, bkey % Lp, packed
+
+
+def _call_v5(dg, table, sub, eq, gseq, G, valid, Brows, Lp, Bt, R,
+             interpret, ring16, seg, npack):
+    """Build/cache the pallas_call and run it on prepared planes.
+
+    Brows: lane-row count (B // npack when packed); Lp: total lane
+    extent (npack * seg).  Returns (bv[Brows, npack],
+    key[Brows, npack], packed[n_pad, Brows, Lp]).
+    """
     if ring16 is None:
         if isinstance(table, jax.core.Tracer):
             ring16 = False      # under an outer jit the bound is unknowable;
         else:                   # callers there pass ring16= explicitly
-            ring16 = int(jnp.max(table)) * Lp < 32000
+            ring16 = int(jnp.max(table)) * seg < 32000
     ringc = 16
     while ringc <= dg.compact_span:
         ringc *= 2
     if Bt is None:
-        Bt = pick_bt(B, Lp, ring16, R, ringc)
-    if B % Bt:
-        raise ValueError(f"batch {B} not divisible by tile {Bt}")
+        Bt = pick_bt(Brows, Lp, ring16, R, ringc)
+    if Brows % Bt:
+        raise ValueError(f"batch {Brows} not divisible by tile {Bt}")
     n = dg.n
     steps = -(-(n - 1) // R)
     n_pad = steps * R
-    key = (n, Lp, Bt, R, B, interpret, ring16, ringc)
+    key = (n, Lp, Bt, R, Brows, interpret, ring16, ringc, seg, npack)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(R, steps, ring16, ringc)
+        kernel = _make_kernel(R, steps, ring16, ringc, seg, npack)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=7,
-                    grid=(B // Bt, steps),
+                    grid=(Brows // Bt, steps),
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lp), lambda b, s, *_: (0, b, 0),
                                      memory_space=pltpu.VMEM),
@@ -297,9 +375,9 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
                     out_specs=[
                         pl.BlockSpec((R, Bt, Lp), lambda b, s, *_: (s, b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, npack), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, npack), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
@@ -311,22 +389,16 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
                     ],
                 ),
                 out_shape=[
-                    jax.ShapeDtypeStruct((n_pad, B, Lp), jnp.int32),
-                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((n_pad, Brows, Lp), jnp.int32),
+                    jax.ShapeDtypeStruct((Brows, npack), jnp.int32),
+                    jax.ShapeDtypeStruct((Brows, npack), jnp.int32),
                 ],
                 interpret=interpret,
             )
         )
         _cache[key] = fn
-    codes7 = jnp.arange(7, dtype=jnp.int32)
-    tT = table.T                                   # (seq, lnz) order
-    sub = tT[codes7][:, seq]
-    eq = (seq[None, :, :] == codes7[:, None, None]).astype(jnp.int32)
-    gseq = table[seq, GAP]
-    G = jnp.cumsum(gseq, axis=1)
-    jcol = jnp.arange(Lp, dtype=jnp.int32)
-    valid = (jcol[None, :] < L[:, None]).astype(jnp.int32)
+    n = dg.n
+    tT = table.T
     gnode = tT[dg.codes, GAP]
     nrows = jnp.asarray([n - 1], dtype=jnp.int32)
     packed, bv, bkey = fn(
@@ -334,4 +406,4 @@ def fill_local_v5(dg, table, seq, L, Bt=None, R=8, interpret=False,
         dg.node_start.astype(jnp.int32), gnode, dg.codes, dg.erank, nrows,
         sub, eq, gseq, G, valid,
     )
-    return bv[:, 0], bkey[:, 0] // Lp, bkey[:, 0] % Lp, packed
+    return bv, bkey, packed

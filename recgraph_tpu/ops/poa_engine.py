@@ -692,17 +692,27 @@ def fill_local_best(dg, table, seq, L, g=None, ring16=None):
             B = seq.shape[0]
             mesh, (seq, L), _ = _pallas_batch_plan((seq, L))
             # v5 (128-aligned lanes + radix-4 chain + int16 ring + wide
-            # batch tiles) is the fastest measured kernel (PERF.md);
+            # batch tiles) is the fastest measured kernel (PERF.md),
+            # with two reads packed per lane-row at the 64-granulated
+            # per-read width (the latency-bound chain serialises over
+            # half the rows; segment guards keep reads independent);
             # packed rows may be padded past n and past the caller's Lp
             # (pad lanes are O cells no walk enters) — callers slice [:n]
+            S = -(-seq.shape[1] // 64) * 64
             if ring16 is None:
-                Lp128 = -(-seq.shape[1] // 128) * 128
                 ring16 = (
                     False if isinstance(table, jax.core.Tracer)
-                    else sm_max_entry(table) * Lp128 < 32000
+                    else sm_max_entry(table) * S < 32000
+                )
+            if seq.shape[1] != S:
+                from .. import scoring
+
+                seq = jnp.pad(
+                    seq, ((0, 0), (0, S - seq.shape[1])),
+                    constant_values=scoring.N,
                 )
             fill = lambda s, l: pallas_poa_v5.fill_local_v5(
-                dg, table, s, l, ring16=ring16
+                dg, table, s, l, ring16=ring16, pack=2
             )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 2, (0, 0, 0, 1))

@@ -187,6 +187,38 @@ def test_pallas_local_v5_matches_xla(example_paths):
             assert (op[:, :, Lp:] % 16 == 0).all()  # pad lanes: O direction
 
 
+def test_pallas_local_v5_packed(example_paths):
+    """Two reads packed per lane-row (the dispatched configuration:
+    64-granulated per-read width) must be bit-identical to the XLA
+    fill — segment guards keep the prefix chains independent."""
+    from recgraph_tpu.ops import pallas_poa_v5
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    # full-length reads at S=192 and mixed lengths at S=128
+    for reads, S in ((seqs[:8], 192), ([s[:100] for s in seqs[:4]]
+                                       + [s[:60] for s in seqs[4:8]], 128)):
+        seq, L = encode_reads(reads, pad_to=S)
+        ref = poa_engine._fill_local(dg, table, seq, L)
+        for ring16 in (False, True):
+            out = pallas_poa_v5.fill_local_v5(
+                dg, table, seq, L, Bt=4, interpret=True, ring16=ring16,
+                pack=2,
+            )
+            np.testing.assert_array_equal(ref[0], out[0])
+            np.testing.assert_array_equal(ref[1], out[1])
+            np.testing.assert_array_equal(ref[2], out[2])
+            rp, op = np.asarray(ref[3]), np.asarray(out[3])
+            n = dg.n
+            np.testing.assert_array_equal(
+                np.transpose(op[:n], (1, 0, 2)), rp[:, :n]
+            )
+
+
 def test_global_v2_bit_exact(example_paths):
     """pallas_poa_global2 vs the XLA engine, both ring widths."""
     from recgraph_tpu.ops import pallas_poa_global2
