@@ -20,6 +20,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <thread>
 
 namespace {
 
@@ -333,6 +334,41 @@ int64_t gaf_emit_poa_walk(const int32_t* dirs, const int32_t* rows,
     return render(em, seq_len - 1, query_start, query_end, amb != 0,
                   node_start(hofp, stop_row), node_start(hofp, last_row),
                   out, cap);
+}
+
+
+// Batched walk emission: loops the per-read emitter in C++ (no
+// per-read Python/ctypes overhead) and stripes reads across a few
+// std::threads — host emission then scales with cores without
+// touching the GIL.  params[b*6..]: n_steps, stop_row, query_start,
+// last_row, query_end (last_col_abs), seq_len.  Each read's tail goes
+// to out + b*percap; rcs[b] < 0 marks a failed read (caller falls
+// back to the Python emitter for it).
+int64_t gaf_emit_poa_walk_batch(const int32_t* dirs, const int32_t* rows,
+                                int64_t stride, const int64_t* params,
+                                int64_t B, const int64_t* hofp,
+                                int32_t amb, char* out, int64_t percap,
+                                int64_t* rcs) {
+    auto work = [&](int64_t b0, int64_t b1) {
+        for (int64_t b = b0; b < b1; b++) {
+            const int64_t* p = params + b * 6;
+            rcs[b] = gaf_emit_poa_walk(
+                dirs + b * stride, rows + b * stride, p[0], p[1], p[2],
+                p[3], p[4], hofp, p[5], amb, out + b * percap, percap);
+        }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nt = hw ? (hw < 8 ? hw : 8) : 1;
+    if (nt > B) nt = B ? B : 1;
+    if (nt <= 1) {
+        work(0, B);
+        return 0;
+    }
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nt; t++)
+        ts.emplace_back(work, B * t / nt, B * (t + 1) / nt);
+    for (auto& th : ts) th.join();
+    return 0;
 }
 
 // Replay of band_ampl_enough (global_abpoa.rs:428-476) over a walk.

@@ -112,6 +112,55 @@ def _hofp_ids(g):
     return ids
 
 
+def _emit_records(mode, states, sequences, names, amb_mode, g):
+    """Host GAF emission for a batch.
+
+    Walk batches go through ONE native call (the C++ loop is striped
+    across std::threads internally — no per-read Python/ctypes
+    overhead and no GIL), so emission throughput scales with host
+    cores; it is the post-fill bottleneck once the device side exceeds
+    one core's ~9k reads/s.  Per-read fallback covers plane states and
+    any read the native emitter rejects.
+    """
+    import numpy as np
+
+    from .. import native
+    from ..ops.poa_engine import WalkState
+
+    hofp = g.handle_pos
+
+    def one(i):
+        return _emit_poa(
+            mode, states[i], sequences[i], names[i], amb_mode, hofp, g
+        )
+
+    n = len(sequences)
+    if (
+        n >= 32
+        and native.load() is not None
+        and all(isinstance(st, WalkState) for st in states)
+    ):
+        stride = max((len(st.dirs) for st in states), default=0)
+        dirs2d = np.zeros((n, max(stride, 1)), dtype=np.int32)
+        rows2d = np.zeros((n, max(stride, 1)), dtype=np.int32)
+        params = np.empty((n, 6), dtype=np.int64)
+        for i, st in enumerate(states):
+            k = len(st.dirs)
+            dirs2d[i, :k] = st.dirs
+            rows2d[i, :k] = st.rows
+            params[i] = (k, st.stop_row, st.query_start, st.last_row,
+                         st.last_col_abs, len(sequences[i]))
+        tails = native.gaf_emit_poa_walk_batch(
+            dirs2d, rows2d, params, _hofp_ids(g), amb_mode
+        )
+        if tails is not None:
+            return [
+                _RawGafLine(f"{names[i]}\t{t}") if t is not None else one(i)
+                for i, t in enumerate(tails)
+            ]
+    return [one(i) for i in range(n)]
+
+
 def _emit_poa(mode, st, seq, name, amb_mode, hofp, g=None):
     from ..ops.poa_engine import WalkState
 
@@ -442,14 +491,13 @@ def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
         states = poa_engine.run_batch_walks(mode, sequences, g, sm, o, e, btas)
     else:
         states = poa_engine.run_batch(mode, sequences, g, sm, o, e, btas)
-    records = [None] * len(sequences)
-    for i, (seq, st) in enumerate(zip(sequences, states)):
-        if mode in (0, 2) and not st.band_check_ok:
+    for st in states if mode in (0, 2) else ():
+        if not st.band_check_ok:
             print(
                 "Band length probably too short, maybe try with larger b and f",
                 file=sys.stderr,
             )
-        records[i] = _emit_poa(mode, st, seq, names[i], False, g.handle_pos, g)
+    records = _emit_records(mode, states, sequences, names, False, g)
 
     if opts.amb_strand:
         retry = [

@@ -9,6 +9,7 @@ accelerator, never a requirement.
 from __future__ import annotations
 
 import ctypes
+import threading
 import os
 import subprocess
 import sys
@@ -65,6 +66,12 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.gaf_emit_poa_walk_batch.restype = ctypes.c_int64
+    lib.gaf_emit_poa_walk_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.gaf_emit_poa_walk.restype = ctypes.c_int64
     lib.gaf_emit_poa_walk.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -109,14 +116,17 @@ def _ptr(a):
 
 
 _OUT_CAP = 1 << 20
-_out_buf = None
+_tls = threading.local()
 
 
 def _outbuf():
-    global _out_buf
-    if _out_buf is None:
-        _out_buf = ctypes.create_string_buffer(_OUT_CAP)
-    return _out_buf
+    """Reused output buffer, one per thread: the emitters release the
+    GIL during the C++ call, so the host emission loop parallelises
+    with a thread pool (align.pipeline._emit_records)."""
+    buf = getattr(_tls, "out_buf", None)
+    if buf is None:
+        buf = _tls.out_buf = ctypes.create_string_buffer(_OUT_CAP)
+    return buf
 
 
 def gaf_emit_poa(mode, packed, packed_x, packed_y, lefts, hofp_ids,
@@ -136,6 +146,34 @@ def gaf_emit_poa(mode, packed, packed_x, packed_y, lefts, hofp_ids,
     if rc < 0:
         return None
     return out.raw[:rc].decode()
+
+
+def gaf_emit_poa_walk_batch(dirs2d, rows2d, params, hofp_ids, amb,
+                            percap=1 << 12):
+    """Batch walk emission: one C++ call (internally threaded) for a
+    whole chunk.  dirs2d/rows2d int32[B, stride] C-contiguous; params
+    int64[B, 6] (n_steps, stop_row, query_start, last_row,
+    query_end, seq_len).  Returns list[str | None] tails (None = that
+    read overflowed percap or failed; callers emit it per-read)."""
+    lib = load()
+    if lib is None:
+        return None
+    B, stride = dirs2d.shape
+    out = (ctypes.c_char * (B * percap))()
+    rcs = np.empty(B, dtype=np.int64)
+    lib.gaf_emit_poa_walk_batch(
+        _ptr(dirs2d), _ptr(rows2d), stride, _ptr(params), B,
+        _ptr(hofp_ids), 1 if amb else 0, out, percap, _ptr(rcs),
+    )
+    base = ctypes.addressof(out)
+    tails = []
+    for b in range(B):
+        rc = int(rcs[b])
+        tails.append(
+            ctypes.string_at(base + b * percap, rc).decode()
+            if rc >= 0 else None
+        )
+    return tails
 
 
 def band_check_linear(packed, lefts, rights, seq_len, last_row, last_col):
