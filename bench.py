@@ -304,22 +304,53 @@ def _bench_child(platform, batch, iters, headline_only, q):
     q.put(buf.getvalue())
 
 
+def _relay_alive() -> bool:
+    """The axon relay's first listen port accepts connections."""
+    import socket
+
+    s = socket.socket()
+    s.settimeout(2)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
 def _run_guarded(batch, iters, timeout_s=900):
     """Run the bench in a child process with a watchdog.
 
-    The dev TPU tunnel can wedge indefinitely; the driver must still get
-    a JSON line.  On timeout/failure, re-run on the CPU backend
-    (headline only, small batch).  900 s covers a cold remote-compile
-    cache across the five benched kernels (~150-250 s warm).
+    The dev TPU tunnel can wedge indefinitely (and its relay can die
+    outright — connection refused); the driver must still get a JSON
+    line.  If the relay is down, wait briefly for it to come back
+    before burning the watchdog on a hung attempt.  On timeout/failure,
+    re-run on the CPU backend (headline only, small batch).  900 s
+    covers a cold remote-compile cache across the benched kernels
+    (~150-250 s warm).
     """
     import multiprocessing as mp
 
+    for _ in range(5):
+        if _relay_alive():
+            break
+        print("# axon relay down; waiting 60s", file=sys.stderr)
+        time.sleep(60)
+
     ctx = mp.get_context("spawn")
 
-    for platform, b, t_s, honly in (
+    attempts = [
         (None, batch, timeout_s, False),
         ("cpu", min(batch, 128), 300, True),
-    ):
+    ]
+    if not _relay_alive():
+        # relay dead: the TPU attempt would hang until the watchdog —
+        # go straight to the CPU fallback so the driver gets a line
+        print("# axon relay still down; skipping TPU attempt", file=sys.stderr)
+        attempts = attempts[1:]
+
+    for platform, b, t_s, honly in attempts:
         q = ctx.Queue()
         p = ctx.Process(target=_bench_child, args=(platform, b, iters, honly, q))
         p.start()
