@@ -47,7 +47,8 @@ def _chain_radix(x, jcol, Lp):
     return x
 
 
-def _make_kernel(R: int, n: int, ring16: bool, ringc: int):
+def _make_kernel(R: int, n: int, ring16: bool, ringc: int, seg: int,
+                 npack: int):
     rdt = jnp.int16 if ring16 else jnp.int32
 
     def kernel(
@@ -63,8 +64,8 @@ def _make_kernel(R: int, n: int, ring16: bool, ringc: int):
         packed_ref,     # out [R, Bt, Lpo]
         packedx_ref,    # out [R, Bt, Lpo]
         packedy_ref,    # out [R, Bt, Lpo]
-        bv_ref,         # out [Bt, 1]
-        key_ref,        # out [Bt, 1]    best_i * Lpo + best_j
+        bv_ref,         # out [Bt, npack]
+        key_ref,        # out [Bt, npack]  best_i * Lpo + best_j (global)
         ring_m,         # scratch [RING, Bt, Lpo] (rdt)
         ring_y,         # scratch [RING, Bt, Lpo] (rdt)
         prev_m,         # scratch [Bt, Lpo] i32
@@ -76,7 +77,8 @@ def _make_kernel(R: int, n: int, ring16: bool, ringc: int):
         Bt, Lpo = valid_ref.shape
         Pm = pred_idx_ref.shape[0] // codes_ref.shape[0]
         jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lpo), 1)
-        j0 = jcol == 0
+        jloc = jcol % seg if npack > 1 else jcol
+        j0 = jloc == 0
         o = oe_ref[0]
         e = oe_ref[1]
         valid = valid_ref[:, :] != 0
@@ -174,10 +176,10 @@ def _make_kernel(R: int, n: int, ring16: bool, ringc: int):
 
             # ---- in-row (M, X) solve: linear chain with zero floor ----
             c = jnp.maximum(jnp.maximum(d_val, y_row), 0)
-            S = c + o - e * jcol
+            S = c + o - e * jloc
             S = jnp.where(j0, 0, S)                         # (m,x)=(0,0) seed
-            Sx = _chain_radix(S, jcol, Lpo)
-            x_row = e * jcol + jnp.where(j0, NEGc, pltpu.roll(Sx, 1, 1))
+            Sx = _chain_radix(S, jloc, seg)
+            x_row = e * jloc + jnp.where(j0, NEGc, pltpu.roll(Sx, 1, 1))
             m_row = jnp.maximum(c, x_row)
             border = (i == 0) | j0 | ~valid
             m_row = jnp.where(border, 0, m_row)
@@ -240,13 +242,16 @@ def _make_kernel(R: int, n: int, ring16: bool, ringc: int):
         @pl.when(step == pl.num_programs(1) - 1)
         def _():
             bvp = best[0]
-            rmax = jnp.max(bvp, axis=1, keepdims=True)
-            key = jnp.min(
-                jnp.where(bvp == rmax, best[1] * Lpo + jcol, 1 << 30),
-                axis=1, keepdims=True,
-            )
-            bv_ref[:, :] = rmax
-            key_ref[:, :] = key
+            for s in range(npack):
+                in_seg = (jcol >= s * seg) & (jcol < (s + 1) * seg)
+                bs = jnp.where(in_seg, bvp, NEG)
+                rmax = jnp.max(bs, axis=1, keepdims=True)
+                key = jnp.min(
+                    jnp.where(bs == rmax, best[1] * Lpo + jcol, 1 << 30),
+                    axis=1, keepdims=True,
+                )
+                bv_ref[:, s : s + 1] = rmax
+                key_ref[:, s : s + 1] = key
 
     return kernel
 
@@ -264,19 +269,30 @@ def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
 
 
 def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
-                      interpret=False, ring16=None):
+                      interpret=False, ring16=None, pack=1):
     """Pallas mode-3 fill; same outputs as `_fill_gap_local` with
     [n, B, Lpo] plane layout.  Requires o <= 0 and e <= 0.
+
+    ``pack`` > 1 packs that many reads per lane-row (segment width =
+    the incoming per-read width, pack*width a 128 multiple) exactly as
+    in pallas_poa_v5: segment-local chain guards, per-segment argmax.
 
     Returns (best_val, best_i, best_j, packed, packed_x, packed_y).
     """
     B, Lp = seq.shape
-    Lpo = -(-Lp // 128) * 128
+    if pack > 1:
+        if (pack * Lp) % 128 or B % pack:
+            raise ValueError(f"pack={pack} needs pack*{Lp} % 128 == 0 "
+                             f"and batch {B} % pack == 0")
+        seg, Brows, Lpo = Lp, B // pack, pack * Lp
+    else:
+        seg = Lpo = -(-Lp // 128) * 128
+        Brows = B
     n = dg.n
     o_i, e_i = int(o), int(e)
     if o_i > 0 or e_i > 0:
         raise ValueError("fill_gap_local_v2 requires non-positive o/e")
-    if Lpo != Lp:
+    if pack == 1 and Lpo != Lp:
         from .. import scoring
 
         seq = jnp.pad(seq, ((0, 0), (0, Lpo - Lp)),
@@ -284,27 +300,27 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
     if ring16 is None:
         from .poa_engine import sm_max_entry
 
-        ring16 = (sm_max_entry(table) + max(-o_i, -e_i)) * Lpo < 32000
+        ring16 = (sm_max_entry(table) + max(-o_i, -e_i)) * seg < 32000
     ringc = 16
     while ringc <= dg.compact_span:
         ringc *= 2
     if Bt is None:
-        Bt = pick_bt(B, Lpo, ring16, R, ringc)
-    if B % Bt:
-        raise ValueError(f"batch {B} not divisible by tile {Bt}")
+        Bt = pick_bt(Brows, Lpo, ring16, R, ringc)
+    if Brows % Bt:
+        raise ValueError(f"batch {Brows} not divisible by tile {Bt}")
     steps = -(-(n - 1) // R)
     n_pad = steps * R
 
-    key = (Lpo, n, Bt, R, B, interpret, ring16, ringc)
+    key = (Lpo, n, Bt, R, Brows, interpret, ring16, ringc, seg, pack)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(R, n, ring16, ringc)
+        kernel = _make_kernel(R, n, ring16, ringc, seg, pack)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=6,
-                    grid=(B // Bt, steps),
+                    grid=(Brows // Bt, steps),
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
                                      memory_space=pltpu.VMEM),
@@ -320,9 +336,9 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((R, Bt, Lpo), lambda b, s, *_: (s, b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, pack), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, pack), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
@@ -337,11 +353,11 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
                     ],
                 ),
                 out_shape=[
-                    jax.ShapeDtypeStruct((n_pad, B, Lpo), jnp.int32),
-                    jax.ShapeDtypeStruct((n_pad, B, Lpo), jnp.int32),
-                    jax.ShapeDtypeStruct((n_pad, B, Lpo), jnp.int32),
-                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((n_pad, Brows, Lpo), jnp.int32),
+                    jax.ShapeDtypeStruct((n_pad, Brows, Lpo), jnp.int32),
+                    jax.ShapeDtypeStruct((n_pad, Brows, Lpo), jnp.int32),
+                    jax.ShapeDtypeStruct((Brows, pack), jnp.int32),
+                    jax.ShapeDtypeStruct((Brows, pack), jnp.int32),
                 ],
                 interpret=interpret,
             )
@@ -352,8 +368,12 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
     # (seq, lnz) argument order (gap_local_poa.rs:57,137)
     sub = table.T[codes7][:, seq]
     eq = (seq[None] == codes7[:, None, None]).astype(jnp.int32)
-    jc = jnp.arange(Lpo, dtype=jnp.int32)
+    jc = jnp.arange(seg, dtype=jnp.int32)
     valid = (jc[None, :] < L[:, None]).astype(jnp.int32)
+    if pack > 1:
+        sub = sub.reshape(7, Brows, Lpo)
+        eq = eq.reshape(7, Brows, Lpo)
+        valid = valid.reshape(Brows, Lpo)
     oe = jnp.asarray([o_i, e_i], dtype=jnp.int32)
     packed, packed_x, packed_y, bv, bkey = fn(
         dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1), dg.erank,
@@ -363,4 +383,13 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
     packed = packed[:n].at[n - 1].set(0)
     packed_x = packed_x[:n].at[n - 1].set(0)
     packed_y = packed_y[:n].at[n - 1].set(0)
+    if pack > 1:
+        packed = packed.reshape(n, B, seg)
+        packed_x = packed_x.reshape(n, B, seg)
+        packed_y = packed_y.reshape(n, B, seg)
+        offs = (jnp.arange(B, dtype=jnp.int32) % pack) * seg
+        bvf = bv.reshape(B)
+        keyf = bkey.reshape(B)
+        return (bvf, keyf // Lpo, keyf % Lpo - offs,
+                packed, packed_x, packed_y)
     return bv[:, 0], bkey[:, 0] // Lpo, bkey[:, 0] % Lpo, packed, packed_x, packed_y

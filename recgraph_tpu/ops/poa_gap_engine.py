@@ -681,8 +681,18 @@ def fill_gap_local_best(dg, table, seq, L, o, e, g=None):
         if dg.compact_span < 256 and smem_ok:
             B = seq.shape[0]
             mesh, (seq, L), _ = _pallas_batch_plan((seq, L))
+            # two reads per lane-row at the 64-granulated per-read
+            # width (same scheme as the mode-1 kernel)
+            S = -(-seq.shape[1] // 64) * 64
+            if seq.shape[1] != S:
+                from .. import scoring
+
+                seq = jnp.pad(
+                    seq, ((0, 0), (0, S - seq.shape[1])),
+                    constant_values=scoring.N,
+                )
             fill = lambda s, l: pallas_gap_local.fill_gap_local_v2(
-                dg, table, s, l, int(o), int(e)
+                dg, table, s, l, int(o), int(e), pack=2
             )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 2, (0, 0, 0, 1, 1, 1))

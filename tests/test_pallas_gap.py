@@ -81,3 +81,35 @@ def test_gap_local_v2_bit_exact(example_paths, oe):
         assert (ref[1] == got[1]).all() and (ref[2] == got[2]).all()
         for k in (3, 4, 5):
             assert (ref[k] == got[k].transpose(1, 0, 2)[:, :, :Lp]).all(), k
+
+
+def test_gap_local_v2_packed(example_paths):
+    """Two reads per lane-row (the dispatched configuration) must match
+    the XLA engine bit-for-bit, full-length and mixed-length."""
+    from recgraph_tpu.ops import pallas_gap_local
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    for reads, S in ((seqs[:8], 192), ([s[:90] for s in seqs[:4]]
+                                       + [s[:50] for s in seqs[4:8]], 128)):
+        seq, L = encode_reads(reads, pad_to=S)
+        ref = [
+            np.asarray(x)
+            for x in poa_gap_engine._fill_gap_local(
+                dg, table, seq, L, jnp.int32(-4), jnp.int32(-2)
+            )
+        ]
+        got = [
+            np.asarray(x)
+            for x in pallas_gap_local.fill_gap_local_v2(
+                dg, table, seq, L, -4, -2, Bt=4, interpret=True, pack=2
+            )
+        ]
+        assert (ref[0] == got[0]).all()
+        assert (ref[1] == got[1]).all() and (ref[2] == got[2]).all()
+        for k in (3, 4, 5):
+            assert (ref[k] == got[k].transpose(1, 0, 2)).all(), k
