@@ -146,3 +146,41 @@ def test_fuzz_pallas_pathwise(seed):
             )
         )
         assert (ref == got[:, :, :, : ref.shape[3]]).all(), mode8
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_pallas_local_v5(seed):
+    """v5 (compact end-rank ring) on random DAGs, unpacked and with two
+    reads packed per lane-row — random graphs randomise the end-rank
+    structure and the segment contents."""
+    from recgraph_tpu.ops import pallas_poa_v5
+
+    gfa, reads, sm, table, seq, L = _setup(seed)
+    g = PoaGraph.from_gfa(gfa)
+    dg = poa_device_graph(g)
+    ref = [np.asarray(x) for x in poa_engine._fill_local(dg, table, seq, L)]
+    Lp = seq.shape[1]
+    got = [
+        np.asarray(x)
+        for x in pallas_poa_v5.fill_local_v5(
+            dg, table, seq, L, Bt=8, interpret=True
+        )
+    ]
+    assert (ref[0] == got[0]).all()
+    assert (ref[1] == got[1]).all() and (ref[2] == got[2]).all()
+    Lpo = got[3].shape[2]
+    assert (ref[3] == got[3][: dg.n].transpose(1, 0, 2)[:, :, :Lp]).all()
+
+    # packed: per-read width padded to 64, two per row
+    S = -(-Lp // 64) * 64
+    seqp, Lp_ = encode_reads(reads, pad_to=S)
+    refp = [np.asarray(x) for x in poa_engine._fill_local(dg, table, seqp, Lp_)]
+    gotp = [
+        np.asarray(x)
+        for x in pallas_poa_v5.fill_local_v5(
+            dg, table, seqp, Lp_, Bt=4, interpret=True, pack=2
+        )
+    ]
+    assert (refp[0] == gotp[0]).all()
+    assert (refp[1] == gotp[1]).all() and (refp[2] == gotp[2]).all()
+    assert (refp[3] == gotp[3][: dg.n].transpose(1, 0, 2)).all()
