@@ -34,7 +34,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scoring import GAP
 from .poa_engine import (
     NEG, O, D, LOW_D, L_DIR, U_DIR, X_DIR, Y_DIR, LOW_U,
 )

@@ -32,8 +32,6 @@ tests/test_pallas_poa.py::test_global_v2*.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,8 +28,6 @@ Reference semantics preserved: first-best predecessor sweep order
 (local_poa.rs:222-233), row-major first-best argmax.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

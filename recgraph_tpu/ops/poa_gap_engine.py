@@ -646,7 +646,7 @@ def fill_gap_global_best(dg, table, seq, L, bta, o, e, g=None):
     [n, B, Lpo] (Pallas, baxis 1 — band bounds ride lanes Lp/Lp+1).
     """
     if jax.default_backend() == "tpu" and g is not None and o <= 0 and e <= 0:
-        from . import pallas_poa, pallas_gap_global
+        from . import pallas_gap_global
         from .poa_engine import _pallas_batch_plan, _shard_map_fill
 
         smem_ok = dg.n * (2 * dg.max_preds + 8) * 4 < 700_000
@@ -674,7 +674,7 @@ def fill_gap_local_best(dg, table, seq, L, o, e, g=None):
     batch_axis); planes are [B, n, Lp] (XLA) or [n, B, Lpo] (Pallas).
     """
     if jax.default_backend() == "tpu" and g is not None and o <= 0 and e <= 0:
-        from . import pallas_poa, pallas_gap_local
+        from . import pallas_gap_local
         from .poa_engine import _pallas_batch_plan, _shard_map_fill
 
         smem_ok = dg.n * (2 * dg.max_preds + 6) * 4 < 700_000
