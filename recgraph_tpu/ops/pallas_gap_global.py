@@ -376,7 +376,11 @@ _cache: dict = {}
 def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
             ringc: int = RING) -> int:
     words = 2 * ringc * (0.5 if ring16 else 1.0) + 28 + 4 + 6 * R + 12
-    bt = 64
+    # two-ring kernel: stay a notch under the modelled budget until a
+    # Bt=128 configuration is validated on hardware
+    bt = 128
+    while bt > 8 and words * 4 * bt * Lpo > 13 * 1024 * 1024:
+        bt //= 2
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
     return bt

@@ -262,7 +262,7 @@ _cache: dict = {}
 def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
             ringc: int = RING) -> int:
     words = 2 * ringc * (0.5 if ring16 else 1.0) + 28 + 2 + 6 * R + 10
-    bt = 64
+    bt = 128
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
     return bt

@@ -356,7 +356,7 @@ def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
     buffers), gseq/gcol0/aux ~6, packed out 2R, scratch 8.
     """
     words = ringc * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 8
-    bt = 64
+    bt = 128
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
     return bt
