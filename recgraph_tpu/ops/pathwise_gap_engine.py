@@ -49,8 +49,6 @@ from ..graph.pathgraph import PathGraph
 from ..oracle.gaf_emit import build_cigar
 from ..scoring import ScoreMatrix
 
-NEG = -(1 << 28)
-
 
 # ---------------------------------------------------------------------------
 # host metadata
@@ -150,7 +148,6 @@ def gap_meta(g: PathGraph) -> GapMeta:
         # block metadata (used by the first-column program for every
         # node-start row, and by the interior program for hard rows)
         members_of: dict[int, np.ndarray] = {}
-        order: list[int] = []
         for s, (p, p_paths) in enumerate(blocks):
             common = pn[i] & p_paths
             if not common.any():
@@ -172,7 +169,6 @@ def gap_meta(g: PathGraph) -> GapMeta:
             bmaskq[i, s] = common.copy()
             bmaskq[i, s, ai] = False
             if tb not in members_of:
-                order.append(tb)
                 bfirst[i, s] = True
             members_of[tb] = common
         for s in range(len(blocks)):
@@ -215,10 +211,6 @@ def _lane(v, a):
     return jnp.take(v, a, axis=1)
 
 
-def _onehot(a, P):
-    return jnp.arange(P, dtype=jnp.int32) == a
-
-
 @functools.partial(jax.jit, static_argnames=("maxb", "semiglobal"))
 def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
               maxb, semiglobal):
@@ -239,7 +231,7 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
     o = jnp.int32(o)
     e = jnp.int32(e)
 
-    def fc_nonstart(Dm, X, i, ai, args):
+    def fc_nonstart(X, i, ai, args):
         """_fill_first_col_gap non-start branch (gap.rs:35-75); x0 == d0."""
         ap, cap, maskc = args
         Xp0 = jax.lax.dynamic_slice(X, (i - 1, 0, 0, 0), (1, B, P, 1))[0, :, :, 0]
@@ -310,9 +302,8 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         d_col = jnp.roll(base, 1, axis=1) + sub             # col 0 unused
         const = jnp.maximum(d_col, y_a)
         x0_ai = _lane(x0, ai)
-        q = const - e * jcol[None, :]
-        q = q.at[:, 0].set(jnp.maximum(x0_ai, x0_ai - o))   # placeholder
         dpm0_ai = x0_ai  # dpm col0 == x col0 (mode 6) or 0 (mode 7)
+        q = const - e * jcol[None, :]
         q = q.at[:, 0].set(jnp.maximum(dpm0_ai, x0_ai - o))
         M = jax.lax.cummax(q, axis=1)
         x_a = o + e * jcol[None, :] + jnp.roll(M, 1, axis=1)
@@ -481,7 +472,7 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
             x0 = jax.lax.cond(
                 node_start[i],
                 lambda: fc_start(Dm, X, i, ai, hard_ops),
-                lambda: fc_nonstart(Dm, X, i, ai, (fap_i, fcap_i, fmask_i)),
+                lambda: fc_nonstart(X, i, ai, (fap_i, fcap_i, fmask_i)),
             )
         Yrow, Xrow, Drow = jax.lax.cond(
             easy_i,
@@ -662,27 +653,8 @@ def walk_gap_planes(planes_b, g: PathGraph, bp: int, semiglobal: bool,
         j -= 1
     if semiglobal:
         cigar.reverse()
-
-        def count_to_source(i: int) -> int:
-            steps = 0
-            while i > 0:
-                if nwp[i]:
-                    p = _pred_on_path(g, i, bp)
-                    if p is None:
-                        # the reference's loop would never terminate
-                        # here (gap_semi output tail keeps i unchanged)
-                        raise RuntimeError(
-                            "semiglobal tail left the best path "
-                            "(the reference loops forever on such inputs)"
-                        )
-                    i = p
-                else:
-                    i -= 1
-                steps += 1
-            return steps
-
-        starting_node = count_to_source(i)
-        final_node = count_to_source(end_node)
+        starting_node = _count_to_source(g, i, bp)
+        final_node = _count_to_source(g, end_node, bp)
         return f"{build_cigar(cigar)}\t({starting_node} {final_node})"
     while i > 0:
         cigar.append("U")
@@ -746,7 +718,9 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
     out: list[tuple[int, str]] = []
     Lp_all = _align_lp(sequences)
     per_read = 3 * n * P * Lp_all * 4
-    chunk = max(1, int(chunk_bytes // per_read))
+    # 512 cap: the XLA scan carry stops updating in place at large
+    # batches (CLAUDE.md "Known upstream issues")
+    chunk = max(1, min(512, int(chunk_bytes // per_read)))
     alphas_j = jnp.asarray(meta.alphas)
     node_start_j = jnp.asarray(meta.node_start)
     _, pred_of = pathwise_meta(g)                          # [n, P]
@@ -782,9 +756,9 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
         )
         pred_of_bp = jnp.take(pred_of_T, bp_j, axis=0)     # [B, n]
         dirs, ks, stop_i, errs = _walk_gap(
-            *planes, alphas_j, bp_j, node_start_j, pred_of_bp,
-            jnp.asarray(start_i), L, global_mode=not semiglobal,
-            max_steps=W,
+            *planes, alphas_j, jnp.int32(P), bp_j, node_start_j,
+            pred_of_bp, jnp.asarray(start_i), L,
+            global_mode=not semiglobal, max_steps=W,
         )
         del planes
         kmax = min(W, (int(jax.device_get(ks.max())) + 255) // 256 * 256)
@@ -793,6 +767,9 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
         )
         for b, s in enumerate(chunk_seqs):
             if errs[b]:
+                # covers: gap run left the best path, walk read an
+                # uncovered row, or the walk failed to terminate in
+                # max_steps (the reference hangs/crashes on all three)
                 raise RuntimeError(
                     "gap traceback left the best path "
                     "(the reference hangs/crashes on such inputs)"
@@ -841,7 +818,7 @@ _DIR_CHARS = {_D: "D", _LOWD: "d", _L: "L", _U: "U"}
 
 
 @functools.partial(jax.jit, static_argnames=("global_mode", "max_steps"))
-def _walk_gap(dpm_bp, dpm_al, x_bp, y_bp, alphas, bp, node_start,
+def _walk_gap(dpm_bp, dpm_al, x_bp, y_bp, alphas, n_paths, bp, node_start,
               pred_of_bp, start_i, L, global_mode, max_steps):
     """Batched delta-form gap walk over the four device planes.
 
@@ -890,6 +867,12 @@ def _walk_gap(dpm_bp, dpm_al, x_bp, y_bp, alphas, bp, node_start,
         code_main = jnp.where(
             is_d, jnp.where(curr < d, _LOWD, _D),
             jnp.where(is_u, _U, _L),
+        )
+        # degenerate: the walk reads a row no path covers (alphas
+        # sentinel P+1) — the oracle/reference crash there; surface it
+        bad_alpha = in_main & (
+            (jnp.take(alphas, i) >= n_paths)
+            | (~zero_case & (jnp.take(alphas, src_row) >= n_paths))
         )
         predecessor = jnp.where(is_start & covered, pred_e, -1)
         step_i = jnp.where(predecessor >= 0, predecessor, i - 1)
@@ -942,7 +925,7 @@ def _walk_gap(dpm_bp, dpm_al, x_bp, y_bp, alphas, bp, node_start,
         )
         retained_new = jnp.where(in_main & is_u, predecessor, retained)
         retained_new = jnp.where(u_emit, p_new, retained_new)
-        err_new = err | u_err
+        err_new = err | u_err | bad_alpha
 
         dirs = dirs.at[bidx, k].set(jnp.where(emit, code, dirs[bidx, k]))
         k = k + emit.astype(jnp.int32)
@@ -955,4 +938,4 @@ def _walk_gap(dpm_bp, dpm_al, x_bp, y_bp, alphas, bp, node_start,
     i, j, phase, retained, k, done, err, dirs = jax.lax.fori_loop(
         0, max_steps, body, st
     )
-    return dirs, k, i, err
+    return dirs, k, i, err | ~done

@@ -41,6 +41,51 @@ def test_gap67_device_fill_example(example_graph_small, semi):
     _assert_fill_equal(g, sm, reads, -4, -2, semi)
 
 
+@pytest.mark.parametrize("semi", [False, True])
+def test_gap67_device_walk_vs_plane_walk(example_graph_small, semi):
+    """The on-device walk (_walk_gap) vs the host plane walk
+    (walk_gap_planes, the readable spec of the same state machine) —
+    both must produce the oracle's exact lines."""
+    import jax
+
+    g, sm, reads = example_graph_small
+    o, e = -4, -2
+    mode = 7 if semi else 6
+    device = ge.run_batch(mode, reads, g, sm, o, e)
+    meta = ge.gap_meta(g)
+    seq, _ = encode_reads(reads)
+    Dm, X, Y = ge.fill_gap_device(g, sm, seq, o, e, semi, meta)
+    finalcol = np.asarray(jax.device_get(ge.final_gap_column(
+        Dm, jnp_lengths(reads))))
+    bps, nodes = [], []
+    for b in range(len(reads)):
+        if semi:
+            node, bp = ge._endings_gap_semi(finalcol[b], g)
+        else:
+            bp, node = ge._endings_gap_global(finalcol[b], g), 0
+        bps.append(bp)
+        nodes.append(node)
+    planes = jax.device_get(ge.extract_gap_planes(
+        Dm, X, Y, jnp_arr(meta.alphas), jnp_arr(bps)
+    ))
+    for b, s in enumerate(reads):
+        pl = tuple(np.asarray(p[b][:, : len(s)]) for p in planes)
+        line = ge.walk_gap_planes(pl, g, bps[b], semi, nodes[b])
+        assert (bps[b], line) == device[b]
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x, dtype=np.int32))
+
+
+def jnp_lengths(reads):
+    import jax.numpy as jnp
+
+    return jnp.asarray([len(s) for s in reads], dtype=jnp.int32)
+
+
 @pytest.mark.parametrize("seed", [1, 2])
 def test_gap67_device_fuzz(seed):
     rng = random.Random(1000 + seed)
