@@ -711,8 +711,12 @@ def fill_local_best(dg, table, seq, L, g=None, ring16=None):
                     seq, ((0, 0), (0, S - seq.shape[1])),
                     constant_values=scoring.N,
                 )
+            # pack only when each shard's halved batch still tiles
+            # (per-shard B is a multiple of 8; packing halves the rows)
+            per = seq.shape[0] // (mesh.size if mesh is not None else 1)
+            pack = 2 if per % 16 == 0 else 1
             fill = lambda s, l: pallas_poa_v5.fill_local_v5(
-                dg, table, s, l, ring16=ring16, pack=2
+                dg, table, s, l, ring16=ring16, pack=pack
             )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 2, (0, 0, 0, 1))

@@ -691,8 +691,11 @@ def fill_gap_local_best(dg, table, seq, L, o, e, g=None):
                     seq, ((0, 0), (0, S - seq.shape[1])),
                     constant_values=scoring.N,
                 )
+            # pack only when each shard's halved batch still tiles
+            per = seq.shape[0] // (mesh.size if mesh is not None else 1)
+            pack = 2 if per % 16 == 0 else 1
             fill = lambda s, l: pallas_gap_local.fill_gap_local_v2(
-                dg, table, s, l, int(o), int(e), pack=2
+                dg, table, s, l, int(o), int(e), pack=pack
             )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 2, (0, 0, 0, 1, 1, 1))
