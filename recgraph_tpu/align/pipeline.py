@@ -266,8 +266,19 @@ def _run(opts: Options) -> None:
         # coordinator barrier, so a doomed run must bail before joining
         raise SystemExit("multi-process runs require -o <file>")
     pid, nproc, prev_mesh = _setup_parallel(opts)
+    # progress watchdog: only armed on remote device backends (the
+    # tunnel can wedge mid-run); CPU runs never hang this way
+    from .. import watchdog
+
+    hb_ctx = __import__("contextlib").nullcontext()
+    if opts.engine == "jax":
+        import jax
+
+        if jax.default_backend() != "cpu":
+            hb_ctx = watchdog.Heartbeat()
     try:
-        _run_host(opts, pid, nproc, t0)
+        with hb_ctx:
+            _run_host(opts, pid, nproc, t0)
     finally:
         if prev_mesh is not False:
             pmesh.set_active_mesh(prev_mesh)
@@ -420,6 +431,9 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
                     best_path, cigar = pathwise_gap.exec_gap_semiglobal(seq, g, sm, o, e)
                 print(cigar, file=fh)
                 print(f"Best path sequence {i + host_offset}: {best_path}", file=fh)
+                from .. import watchdog
+
+                watchdog.progress()
     elif mode in (8, 9):
         g = PathGraph.from_gfa(parsed, is_reversed=False)
         rg = g.reverse()

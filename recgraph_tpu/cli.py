@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.engine == "jax":
+        # fail loudly (nonzero, with a diagnostic) when the device
+        # tunnel is wedged instead of hanging forever
+        from . import watchdog
+
+        watchdog.startup_probe()
     opts = Options(
         sequence_path=args.sequence_path,
         graph_path=args.graph_path,

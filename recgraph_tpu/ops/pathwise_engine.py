@@ -244,6 +244,8 @@ def run_batch(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
     per_read = P * n * Lp_all * 4
     chunk = max(1, int(chunk_bytes // per_read))
     for c0 in range(0, len(sequences), chunk):
+        from ..watchdog import progress as _wd_progress
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
         chunk_seqs = sequences[c0 : c0 + chunk]
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
@@ -397,6 +399,8 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
     chunk = max(1, int(chunk_bytes // per_read))
     W = n + Lp_all + 4
     for c0 in range(0, len(sequences), chunk):
+        from ..watchdog import progress as _wd_progress
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
         chunk_seqs = sequences[c0 : c0 + chunk]
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)

@@ -731,6 +731,8 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
         f_pred_of[paths] = node
     W = 2 * (n + Lp_all) + 8
     for c0 in range(0, len(sequences), chunk):
+        from ..watchdog import progress as _wd_progress
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
@@ -746,18 +748,21 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
                 bp, node = _endings_gap_global(finalcol[b], g), 0
             bps.append(bp)
             nodes.append(node)
-        bp_np = np.asarray(bps, dtype=np.int32)
-        bp_j = jnp.asarray(bp_np)
+        # batch-align the per-read aux arrays with encode_reads: a
+        # data-parallel mesh pads Dm/X/Y/L to a mesh multiple, so bp and
+        # start_i must be padded+sharded the same way (results for the
+        # padded lanes are discarded by the b < B host loop below)
+        from .encode import encode_read_aux
+
+        bp_j = encode_read_aux(bps)
         planes = extract_gap_planes(Dm, X, Y, alphas_j, bp_j)
         del Dm, X, Y
-        start_i = np.asarray(
-            [nodes[b] if semiglobal else int(f_pred_of[bps[b]])
-             for b in range(B)], dtype=np.int32,
-        )
-        pred_of_bp = jnp.take(pred_of_T, bp_j, axis=0)     # [B, n]
+        start_i = [nodes[b] if semiglobal else int(f_pred_of[bps[b]])
+                   for b in range(B)]
+        pred_of_bp = jnp.take(pred_of_T, bp_j, axis=0)     # [Bp, n]
         dirs, ks, stop_i, errs = _walk_gap(
             *planes, alphas_j, jnp.int32(P), bp_j, node_start_j,
-            pred_of_bp, jnp.asarray(start_i), L,
+            pred_of_bp, encode_read_aux(start_i), L,
             global_mode=not semiglobal, max_steps=W,
         )
         del planes

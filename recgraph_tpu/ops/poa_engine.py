@@ -739,8 +739,11 @@ CHUNK_READS = 512  # per-dispatch read chunk: bounds device memory at
 
 def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     if len(sequences) > CHUNK_READS:
+        from ..watchdog import progress as _wd_progress
+
         out = []
         for c in range(0, len(sequences), CHUNK_READS):
+            _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
             out.extend(
                 run_batch(
                     mode, sequences[c : c + CHUNK_READS], g, sm, o, e,
@@ -856,10 +859,13 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
     from .. import native
 
     if len(sequences) > CHUNK_READS:
+        from ..watchdog import progress as _wd_progress
+
         out = []
         pending = None
         starts = list(range(0, len(sequences), CHUNK_READS))
         for c in starts + [None]:
+            _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
             nxt = None
             if c is not None:
                 nxt = _dispatch_walks(

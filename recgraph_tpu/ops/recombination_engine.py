@@ -842,6 +842,8 @@ def run_batch(
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
     for c0 in range(0, len(sequences), chunk):
+        from ..watchdog import progress as _wd_progress
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
@@ -1102,6 +1104,8 @@ def run_batch_walks(
     chunk = max(1, int(chunk_bytes // per_read))
     W = n + Lp_all + 4
     for c0 in range(0, len(sequences), chunk):
+        from ..watchdog import progress as _wd_progress
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
         seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)

@@ -39,12 +39,17 @@ SLOW_CONFIGS = {
 def _run_engine(example_paths, **kw):
     reads_fa, graph_gfa = example_paths
     buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
+    err = io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(err):
         run(
             Options(
                 sequence_path=reads_fa, graph_path=graph_gfa, engine="jax", **kw
             )
         )
+    # the goldens must be produced by the DEVICE engine, not a silent
+    # oracle fallback (e.g. the r2 mesh-padding bug disabled the modes
+    # 6/7 device path on multi-device hosts while the golden still passed)
+    assert "device path unavailable" not in err.getvalue(), err.getvalue()
     return buf.getvalue()
 
 
