@@ -113,50 +113,6 @@ def test_batch_padding_matches_unpadded(example_paths):
     np.testing.assert_array_equal(pk, np.asarray(packed2))
 
 
-def test_v3_scores_fill_and_recompute_walk(example_paths):
-    """v3 scores-only fill + direction-recompute walker == oracle GAF,
-    including the asymmetric HOXD70 table."""
-    from recgraph_tpu import native
-    from recgraph_tpu.align.pipeline import _hofp_ids
-    from recgraph_tpu.oracle import poa as poa_oracle
-    from recgraph_tpu.ops import pallas_poa_v3, traceback_engine
-
-    if native.load() is None:
-        pytest.skip("no native lib")
-    reads_fa, graph_gfa = example_paths
-    seqs, names = fasta.get_sequences(reads_fa)
-    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
-    dg = poa_device_graph(g)
-    hof = _hofp_ids(g)
-    reads = seqs[:8]
-    seq, L = encode_reads(reads)
-    for smname in ("none", "HOXD70"):
-        sm = ScoreMatrix.create(smname, 2, -4)
-        table = jnp.asarray(sm.table, dtype=jnp.int32)
-        bv, bi, bj, m = pallas_poa_v3.fill_local_scores(
-            dg, table, seq, L, Bt=8, R=8, interpret=True
-        )
-        W = traceback_engine.max_walk_steps(dg.n, seq.shape[1])
-        dirs, rows, steps, srow, scol = pallas_poa_v3.walk_local_scores(
-            m, seq, table, jnp.asarray(g.node_start), dg.codes, dg.pred_idx,
-            bi, bj, max_steps=W,
-        )
-        for b in range(len(reads)):
-            ns = int(steps[b])
-            d = np.ascontiguousarray(np.asarray(dirs)[b, :ns])
-            r = np.ascontiguousarray(np.asarray(rows)[b, :ns])
-            tail = native.gaf_emit_poa_walk(
-                d, r, int(srow[b]), int(scol[b]), int(bi[b]), int(bj[b]),
-                hof, len(reads[b]), False,
-            )
-            st_o = poa_oracle.local_full(reads[b], g, sm)
-            ref = gaf_emit.gaf_of_local_poa(
-                st_o, reads[b], names[b], False, g.handle_pos
-            ).to_string()
-            assert f"{names[b]}\t{tail}" == ref
-            assert int(bv[b]) == st_o.score
-
-
 def test_pallas_local_v5_matches_xla(example_paths):
     """v5 (128-aligned lanes + radix-4 chain + int16/int32 ring) must be
     bit-identical to the XLA fill; pad lanes must be O cells."""

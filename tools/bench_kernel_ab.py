@@ -25,7 +25,10 @@ def main():
 
     from recgraph_tpu.graph.poagraph import PoaGraph
     from recgraph_tpu.io import fasta, gfa
-    from recgraph_tpu.ops import pallas_poa, pallas_poa_v2, pallas_poa_v4, pallas_poa_v5, poa_engine
+    from recgraph_tpu.ops import pallas_poa, pallas_poa_v2, pallas_poa_v5, poa_engine
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pallas_poa_v4  # superseded ablation kernel, lives in tools/
     from recgraph_tpu.ops.encode import encode_reads, poa_device_graph
     from recgraph_tpu.scoring import ScoreMatrix
 
