@@ -232,3 +232,109 @@ def fill_abs_rev(
                     src_i, src_j = i, j + 1
                 A[i, j, members] = best + (A[src_i, src_j, members] - A[src_i, src_j, r])
     return A
+
+
+# ---------------------------------------------------------------------------
+# affine fill (modes 6/7) — group simulation over three absolute planes
+# ---------------------------------------------------------------------------
+
+
+def fill_abs_gap(
+    seq: str, g: PathGraph, sm: ScoreMatrix, o: int, e: int, semiglobal: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(Ad, Ax, Ay) absolute planes via explicit group simulation.
+
+    Mirrors the observable semantics of pathwise_alignment_gap{,_semi}.rs
+    with the same group-follower rule as :func:`fill_abs`, applied to
+    all three planes.  Boundary quirks kept as-is: the x plane is never
+    written on row 0 (absolute 0, not -inf), the y plane never on
+    column 0; gap-open candidates win >= ties over extensions.
+    """
+    lnz = g.lnz
+    n = g.n
+    L = len(seq)
+    P = g.paths_number
+    pn = g.paths_nodes
+
+    Ad = np.full((n, L, P), POISON, dtype=np.int64)
+    Ax = np.full((n, L, P), POISON, dtype=np.int64)
+    Ay = np.full((n, L, P), POISON, dtype=np.int64)
+
+    cov0 = pn[0]
+    Ad[0, 0, cov0] = 0
+    Ax[0, 0, cov0] = 0
+    Ay[0, 0, cov0] = 0
+    for j in range(1, L):
+        Ay[0, j, cov0] = o + e * j
+        Ad[0, j, cov0] = o + e * j
+        Ax[0, j, cov0] = 0  # x never written on row 0 (quirk)
+
+    for i in range(1, n - 1):
+        groups = _groups(g, i)
+        cov = pn[i]
+        if semiglobal:
+            Ad[i, 0, cov] = 0
+            Ax[i, 0, cov] = 0
+            Ay[i, 0, cov] = 0
+        else:
+            for p, members, r in groups:
+                # first-column x: open at the boundary (i == 1 for
+                # within-node rows, p == 0 for node starts), else extend
+                if p == 0 or (not g.node_start[i] and i == 1):
+                    Ax[i, 0, members] = o + e
+                else:
+                    rep_x = Ax[p, 0, r] + e
+                    Ax[i, 0, members] = rep_x + (Ax[p, 0, members] - Ax[p, 0, r])
+            Ad[i, 0, cov] = Ax[i, 0, cov]
+            Ay[i, 0, cov] = 0  # y never written on column 0 (quirk)
+        for j in range(1, L):
+            sub = sm.get(lnz[i], seq[j])
+            for p, members, r in groups:
+                # y plane (graph gap): open from dpm vs extend, >= to open
+                u_dpm = Ad[p, j, r] + o + e
+                u_y = Ay[p, j, r] + e
+                if u_dpm >= u_y:
+                    Ay[i, j, members] = u_dpm + (Ad[p, j, members] - Ad[p, j, r])
+                else:
+                    Ay[i, j, members] = u_y + (Ay[p, j, members] - Ay[p, j, r])
+                # x plane (read gap)
+                l_dpm = Ad[i, j - 1, r] + o + e
+                l_x = Ax[i, j - 1, r] + e
+                if l_dpm >= l_x:
+                    Ax[i, j, members] = l_dpm + (Ad[i, j - 1, members] - Ad[i, j - 1, r])
+                else:
+                    Ax[i, j, members] = l_x + (Ax[i, j - 1, members] - Ax[i, j - 1, r])
+                # m plane: D >= U >= L follower cascade
+                d = Ad[p, j - 1, r] + sub
+                u = Ay[i, j, r]
+                l = Ax[i, j, r]
+                best = max(d, u, l)
+                if best == d:
+                    Ad[i, j, members] = best + (Ad[p, j - 1, members] - Ad[p, j - 1, r])
+                elif best == u:
+                    Ad[i, j, members] = Ay[i, j, members]
+                else:
+                    Ad[i, j, members] = Ax[i, j, members]
+    return Ad, Ax, Ay
+
+
+def best_ending_gap_semi(Ad: np.ndarray, g: PathGraph) -> tuple[int, int]:
+    """Mode-7 ending scan (gap_semi.rs:446-473) on absolute scores.
+
+    Quirks kept: scans row 0 too, and the per-node argmax runs over
+    ALL path slots — uncovered slots count as score 0 (their delta
+    cells are never written), and the tuple max prefers the larger
+    path id on ties."""
+    mx = None
+    ending_node = chosen_path = 0
+    last = Ad.shape[1] - 1
+    for i in range(g.n - 1):
+        scores = np.zeros(g.paths_number, dtype=np.int64)
+        cov = g.paths_nodes[i]
+        scores[cov] = Ad[i, last, cov]
+        best_path = max(range(g.paths_number), key=lambda p: (scores[p], p))
+        if mx is None or scores[best_path] > mx:
+            mx = scores[best_path]
+            ending_node = i
+            chosen_path = best_path
+    return ending_node, chosen_path

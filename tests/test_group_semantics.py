@@ -10,8 +10,10 @@ general multi-path graphs where paths share nodes — exactly the regime
 the brute-force path-enumeration checker can only bound, not pin.
 
 Covered: forward fill global/semiglobal (modes 4/5 and the forward
-half of 8/9), reverse fill (modes 8/9's second half), the mode-4
-per-path ending rule and the mode-5 best-ending scan.
+half of 8/9), reverse fill (modes 8/9's second half), the affine
+three-plane fill (modes 6/7), the mode-4/6 per-path ending rule and
+the mode-5/7 best-ending scans (incl. mode 7's row-0 + uncovered-slot
+quirks).
 """
 
 import random
@@ -20,7 +22,7 @@ import numpy as np
 import pytest
 
 from recgraph_tpu.graph.pathgraph import PathGraph
-from recgraph_tpu.oracle import group_sim, pathwise, recombination
+from recgraph_tpu.oracle import group_sim, pathwise, pathwise_gap, recombination
 from recgraph_tpu.scoring import ScoreMatrix
 
 from test_fuzz_random_graphs import random_gfa, random_read
@@ -115,3 +117,54 @@ def test_group_sim_matches_oracle_fwd_and_rev(chunk):
     assert stats["shared"] == SEEDS_PER_CHUNK
     assert stats["multigroup"] > 0
     assert stats["realpha"] > 0
+
+
+@pytest.mark.parametrize("chunk", range(N_CHUNKS))
+def test_group_sim_matches_oracle_gap67(chunk):
+    """Affine (modes 6/7) group simulation vs the oracle's delta-form
+    fill, all three planes, cell-exact on covered slots, plus the
+    mode-6 final per-path scores and the mode-7 ending-scan quirks
+    (row 0 included, uncovered slots counted as 0)."""
+    O, E = -4, -2
+    for s in range(SEEDS_PER_CHUNK):
+        seed = chunk * SEEDS_PER_CHUNK + s
+        rng = random.Random(7000 + seed)
+        gfa = random_gfa(
+            rng, n_nodes=rng.randint(6, 14), n_paths=rng.randint(2, 6), cover_all=True
+        )
+        read = random_read(rng, gfa)
+        g = PathGraph.from_gfa(gfa)
+
+        for semiglobal in (False, True):
+            dpm, x, y = pathwise_gap.fill(read, g, SM, O, E, semiglobal)
+            Ad, Ax, Ay = group_sim.fill_abs_gap(read, g, SM, O, E, semiglobal)
+            for plane_o, plane_s, name in ((dpm, Ad, "m"), (x, Ax, "x"), (y, Ay, "y")):
+                oabs = pathwise.absolute(plane_o, g)
+                for i in range(g.n - 1):
+                    cov = g.paths_nodes[i]
+                    if not cov.any():
+                        continue
+                    np.testing.assert_array_equal(
+                        plane_s[i][:, cov],
+                        oabs[i][:, cov],
+                        err_msg=f"{name} row {i} semi={semiglobal} seed {seed}",
+                    )
+            if semiglobal:
+                node_o, path_o = pathwise_gap.best_ending_node_gap_semi(dpm, g)
+                node_s, path_s = group_sim.best_ending_gap_semi(Ad, g)
+                assert (node_s, path_s) == (node_o, path_o), f"seed {seed}"
+            else:
+                results_s, best_s = group_sim.final_global(Ad, g)
+                last = dpm.shape[1] - 1
+                results_o = np.zeros(g.paths_number, dtype=np.int64)
+                for pred, paths in g.preds_and_paths(g.n - 1):
+                    ap = g.alphas[pred]
+                    for path in np.flatnonzero(paths):
+                        if path == ap:
+                            results_o[path] = dpm[pred, last, path]
+                        else:
+                            results_o[path] = dpm[pred, last, path] + dpm[pred, last, ap]
+                np.testing.assert_array_equal(results_s, results_o)
+                assert best_s == max(
+                    range(g.paths_number), key=lambda p: (results_o[p], p)
+                )
