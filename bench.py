@@ -252,6 +252,41 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
     except Exception as e:
         print(f"# mode4 bench failed: {e}", file=sys.stderr)
 
+    # ---- mode 6: pathwise affine (delta-form device fill) ----
+    try:
+        from recgraph_tpu.ops import pathwise_gap_engine
+
+        meta6 = pathwise_gap_engine.gap_meta(pg)
+        B6 = 32
+        seq6, _ = encode_reads(reads[:B6], pad_to=pathwise_engine._align_lp(reads[:B6]))
+        cells6 = 3 * B6 * pdg.n * seq6.shape[1] * P  # three planes
+
+        def chained_gap67(k):
+            @jax.jit
+            def fn(seq):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    Dm, X, Y = pathwise_gap_engine.fill_gap_device(
+                        pg, sm, s, -4, -2, False, meta6
+                    )
+                    tot = (
+                        tot + Dm.reshape(-1)[123] + X.reshape(-1)[456]
+                        + jnp.max(Y[-2, :, :, -1])
+                    )
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq6))
+
+        dt6 = slope_time(chained_gap67, iters)
+        line(
+            "pathwise_gap_dp_throughput", cells6 / dt6 / 1e9, base_scalar,
+            f"mode6 batch={B6} P={P} per-fill={dt6*1e3:.1f}ms reads/s={B6/dt6:.0f}",
+        )
+    except Exception as e:
+        print(f"# mode6 bench failed: {e}", file=sys.stderr)
+
     try:
         rg = pg.reverse()
         rdg = recombination_engine.rev_device_graph(rg)
