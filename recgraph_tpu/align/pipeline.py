@@ -419,6 +419,9 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
                     mode, sequences, g, sm, o, e
                 )
             except ValueError as exc:  # graphs the reference also rejects
+                from ..metrics import count_fallback
+
+                count_fallback("oracle_gap_67")
                 print(f"mode {mode}: device path unavailable ({exc}); "
                       "using oracle", file=sys.stderr)
         with sink as fh:
@@ -481,9 +484,11 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
             len(s) for s in parsed.segments.values()
         )
         cells = sum(len(s) for s in sequences) * n_rows
+        from ..metrics import fallback_summary
+
         print(
             f"metrics: reads={len(sequences)} reads/s={len(sequences)/dt:.1f} "
-            f"cells/s={cells/dt:.3e} wall_s={dt:.3f}",
+            f"cells/s={cells/dt:.3e} wall_s={dt:.3f} {fallback_summary()}",
             file=sys.stderr,
         )
 

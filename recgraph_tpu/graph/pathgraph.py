@@ -263,29 +263,64 @@ def pathwise_meta(g: PathGraph) -> tuple[np.ndarray, np.ndarray]:
     return rep_of, pred_of
 
 
-def pathwise_meta_rev(rg: PathGraph) -> tuple[np.ndarray, np.ndarray]:
+def pathwise_meta_rev(rg: PathGraph) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reverse-fill group metadata; mirrors rev_align's branch structure
     (pathwise_alignment_recombination.rs:129-435) over the reverse graph
     (successor edges).  ``pred_of`` here points *forward* (successor
     rows; i+1 for rows that are not node ends).
 
-    Raises if the graph hits the reference's delta-leak edge cases
-    (unmarked node-end rows whose path set differs from row i+1, or
-    paths uncovered by any successor edge) — those graphs fall back to
-    the scalar oracle.
+    Returns (rep_of, pred_of, qsrc_of), all int32[n, P].  ``qsrc_of`` is
+    the plane a path reads its *own* source values from — the path
+    itself everywhere except on the reference's delta-leak rows, where
+    a path's slot is never written (delta 0) or is force-assigned the
+    representative's value.  Both collapse, in absolute terms, to
+    "read the representative's plane instead of your own", which makes
+    the device fill exact on graphs that previously required the scalar
+    oracle fallback:
+
+    - *ghost rows*: a single-node path registers no F predecessor
+      (pathwise_graph.rs:211-232), leaving it uncovered by every
+      successor edge at its reverse node-start row — its cells stay
+      delta-0 clones of the node alpha (:436-445 never writes them);
+    - *unmarked node-end rows with differing path sets*: the
+      within-node branch (:245-320) computes candidates from row i+1's
+      alpha ``ap`` but stores the max into row i's alpha slot ``ai``
+      and only updates ``common`` members; covered paths outside
+      ``common`` (and ``ai`` itself) end up carrying the
+      representative's absolute value.
     """
     n, P = rg.n, rg.paths_number
     rep_of = np.full((n, P), -1, dtype=np.int32)
     pred_of = np.full((n, P), -1, dtype=np.int32)
+    qsrc_of = np.tile(np.arange(P, dtype=np.int32), (n, 1))
     for i in range(1, n - 1):
         on = rg.paths_nodes[i]
+        ai = rg.alphas[i]
         if not rg.node_start[i]:
-            if not np.array_equal(on, rg.paths_nodes[i + 1]):
-                raise NotImplementedError(
-                    "reverse fill: unmarked node-end row with differing path set"
-                )
-            rep_of[i, on] = rg.alphas[i]
+            nxt = rg.paths_nodes[i + 1]
+            ap = rg.alphas[i + 1]
+            if np.array_equal(on, nxt):
+                rep_of[i, on] = ai
+                pred_of[i, on] = i + 1
+                continue
+            # delta-leak row: see docstring
+            common = on & nxt
+            if ap < P and common[ap]:
+                rep = ap
+            elif ap < P and ai < P and nxt[ai]:
+                # reference else-branch with a valid ai delta at i+1:
+                # rep chain = ai's own absolutes (:282-320)
+                rep = ai
+            else:
+                # ai's delta slot at i+1 is never written (0): the
+                # candidate sums collapse to ap's absolutes
+                rep = ap
+            rep_of[i, on] = rep
             pred_of[i, on] = i + 1
+            clones = on & ~common                 # incl. ai when outside common
+            qsrc_of[i, clones] = rep
+            if ai < P:
+                qsrc_of[i, ai] = rep              # ai is assigned the rep value
         else:
             covered = np.zeros(P, dtype=bool)
             for p, edge_paths in rg.preds_and_paths(i):
@@ -295,15 +330,28 @@ def pathwise_meta_rev(rg: PathGraph) -> tuple[np.ndarray, np.ndarray]:
                 ap = rg.alphas[p]
                 if ap < P and common[ap]:
                     rep = ap
-                elif common[rg.alphas[i]]:
-                    rep = rg.alphas[i]
+                elif common[ai]:
+                    rep = ai
                 else:
                     rep = int(np.flatnonzero(common)[0])
                 rep_of[i, common] = rep
                 pred_of[i, common] = p
                 covered |= common
-            if (on & ~covered).any():
-                raise NotImplementedError(
-                    "reverse fill: path uncovered by successor edges (ghost row)"
-                )
-    return rep_of, pred_of
+            ghosts = on & ~covered
+            if ghosts.any():
+                if not covered[ai]:
+                    # ghost-alpha row: the alpha slot itself is never
+                    # written, so in absolute terms every ghost here
+                    # (incl. the alpha) reads as constant 0 — rows
+                    # below then chain off those zeros, which the
+                    # normal follower math reproduces.  qsrc == -1
+                    # marks "constant 0" to the device fill.
+                    qsrc_of[i, ghosts] = -1
+                else:
+                    # ghost paths: delta-0 clones of the node alpha —
+                    # copy the alpha's group triple and read the
+                    # alpha's plane
+                    rep_of[i, ghosts] = rep_of[i, ai]
+                    pred_of[i, ghosts] = pred_of[i, ai]
+                    qsrc_of[i, ghosts] = ai
+    return rep_of, pred_of, qsrc_of

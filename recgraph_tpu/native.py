@@ -43,6 +43,9 @@ def load():
             )
         lib = ctypes.CDLL(_SO)
     except Exception as e:  # missing toolchain, build failure, ...
+        from .metrics import count_fallback
+
+        count_fallback("native_to_python")
         print(f"recgraph-tpu: native host library unavailable ({e})", file=sys.stderr)
         return None
 

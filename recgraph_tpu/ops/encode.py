@@ -149,11 +149,18 @@ class PathDeviceGraph:
     pred_of: jnp.ndarray     # int32[n, P] (-1 off-path)
     n: int
     paths_number: int
+    # own-plane source per path: identity except on the reverse fill's
+    # delta-leak rows, where a path reads the representative's plane
+    # (clone semantics; see graph.pathgraph.pathwise_meta_rev)
+    qsrc_of: jnp.ndarray | None = None  # int32[n, P]
 
 
 jax.tree_util.register_dataclass(
     PathDeviceGraph,
-    data_fields=["codes", "node_start", "paths_on", "alphas", "rep_of", "pred_of"],
+    data_fields=[
+        "codes", "node_start", "paths_on", "alphas", "rep_of", "pred_of",
+        "qsrc_of",
+    ],
     meta_fields=["n", "paths_number"],
 )
 

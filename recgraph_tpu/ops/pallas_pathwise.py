@@ -604,6 +604,13 @@ def eligible_rev(dgr, table, Lp128: int) -> bool:
     mx = int(np.abs(np.asarray(table)).max())
     if 2 * Lp128 * mx >= (1 << 16):
         return False
+    if dgr.qsrc_of is not None:
+        # delta-leak rows (clone semantics) are handled only by the XLA
+        # engine; such graphs are pathological (single-node paths), so
+        # the Pallas kernel simply declines them
+        q = np.asarray(dgr.qsrc_of)
+        if (q != np.arange(q.shape[1], dtype=q.dtype)[None]).any():
+            return False
     meta = _group_meta_rev(dgr, 8)
     Gd, _, n_pad_t = meta[5], meta[6], meta[7]
     return n_pad_t * (2 * Gd + 3) * 4 < 600_000

@@ -60,7 +60,7 @@ def rev_device_graph(rg: PathGraph) -> PathDeviceGraph:
 
 
 def _build_rev_device_graph(rg: PathGraph) -> PathDeviceGraph:
-    rep_of, pred_of = pathwise_meta_rev(rg)
+    rep_of, pred_of, qsrc_of = pathwise_meta_rev(rg)
     dg = PathDeviceGraph(
         codes=jnp.asarray(rg.codes, dtype=jnp.int32),
         node_start=jnp.asarray(rg.node_start),
@@ -70,6 +70,7 @@ def _build_rev_device_graph(rg: PathGraph) -> PathDeviceGraph:
         pred_of=jnp.asarray(pred_of),
         n=rg.n,
         paths_number=rg.paths_number,
+        qsrc_of=jnp.asarray(qsrc_of),
     )
     return dg
 
@@ -99,14 +100,17 @@ def _fill_pathwise_rev(dg, table, seq, L, mode8, encode_chain=True):
 
     def step(carry, xs):
         A = carry                                          # [n, B, P, Lp]
-        i, code_i, pvec, rvec, on = xs
+        i, code_i, pvec, rvec, on, qsrc = xs
         gap_i = table[code_i, GAP]
         subrow = table[code_i][rev]
         p_safe = jnp.maximum(pvec, 0)
         r_safe = jnp.maximum(rvec, 0)
 
         Arows = A[p_safe]                                  # [P, B, P, Lp]
-        Aq = jnp.moveaxis(Arows[qdiag, :, qdiag, :], 0, 1)
+        # own-plane source: qsrc == q except on delta-leak rows, where
+        # a clone path reads its representative's plane instead; -1
+        # marks ghost-alpha slots pinned to constant 0
+        Aq = jnp.moveaxis(Arows[qdiag, :, jnp.maximum(qsrc, 0), :], 0, 1)
         Ar = jnp.take_along_axis(
             Arows, r_safe[:, None, None, None], axis=2
         )[:, :, 0, :]
@@ -152,6 +156,7 @@ def _fill_pathwise_rev(dg, table, seq, L, mode8, encode_chain=True):
             )
             row = Vk + Gs[:, None, :] - Gk
         row = jnp.where(on[None, :, None], row, 0)
+        row = jnp.where((qsrc >= 0)[None, :, None], row, 0)
         row = jnp.where(in_read[:, None, :], row, 0)
         row = row.at[:, :, 0].set(0)                      # column 0 never written
         A = jax.lax.dynamic_update_slice(A, row[None], (i, 0, 0, 0))
@@ -165,7 +170,11 @@ def _fill_pathwise_rev(dg, table, seq, L, mode8, encode_chain=True):
 
     rows = jnp.arange(n - 2, 0, -1, dtype=jnp.int32)
     sl = slice(n - 2, 0, -1)
-    xs = (rows, dg.codes[sl], dg.pred_of[sl], dg.rep_of[sl], dg.paths_on[sl])
+    qsrc_all = dg.qsrc_of if dg.qsrc_of is not None else jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32)[None], (n, P)
+    )
+    xs = (rows, dg.codes[sl], dg.pred_of[sl], dg.rep_of[sl], dg.paths_on[sl],
+          qsrc_all[sl])
     A, _ = jax.lax.scan(step, A0, xs)
     A = jnp.moveaxis(A, 0, 2)                              # -> [B, P, n, Lp]
     # row n-1 delta quirk: only the alpha (path 0) plane keeps the chain
@@ -802,6 +811,9 @@ def _oracle_fallback(
     """
     import sys
 
+    from ..metrics import count_fallback
+
+    count_fallback("oracle_rec_89")
     print(
         "recgraph: reverse-fill edge case; modes 8/9 falling back to the "
         "scalar oracle for this graph",
@@ -1095,7 +1107,7 @@ def run_batch_walks(
     paths_on = jnp.asarray(g.paths_nodes)
     rep_f, pred_f = pathwise_meta(g)
     pred_f_full = jnp.asarray(pred_f)                      # [n, P] fwd preds
-    rep_r, pred_r = pathwise_meta_rev(rg)
+    rep_r, pred_r, _qsrc_r = pathwise_meta_rev(rg)
     pred_r_full = jnp.asarray(pred_r)                      # [n, P] successors
 
     records: list[GafRecord] = []

@@ -171,13 +171,14 @@ def test_fuzz_recombination_modes(seed):
             )
 
 
-def test_recombination_oracle_fallback_on_ghost_row_graph():
+def test_recombination_device_path_on_ghost_row_graph(capfd):
     """A single-node path never registers an F predecessor
     (pathwise_graph.rs:211-232 quirk), leaving that path uncovered by
-    successor edges in the reverse graph.  The device engines must
-    route such graphs through the scalar-oracle fallback and still
-    produce the oracle-identical GAF (the reference just runs them,
-    pathwise_alignment_recombination.rs:129-435)."""
+    successor edges in the reverse graph.  Since round 3 the device
+    reverse fill expresses those delta-0 cells as clones of the node
+    alpha (pathwise_meta_rev's qsrc_of), so such graphs run the device
+    engines — no scalar-oracle fallback — and still produce the
+    oracle-identical GAF."""
     gfa = Gfa()
     gfa.segments = {1: "ACG", 2: "TT", 3: "GCA"}
     gfa.edges = [(1, 2), (2, 3)]
@@ -186,8 +187,8 @@ def test_recombination_oracle_fallback_on_ghost_row_graph():
     rg = g.reverse()
     from recgraph_tpu.graph.pathgraph import pathwise_meta_rev
 
-    with pytest.raises(NotImplementedError):
-        pathwise_meta_rev(rg)
+    _, _, qsrc = pathwise_meta_rev(rg)  # must not raise
+    assert (qsrc != np.arange(g.paths_number)[None]).any()  # clone rows exist
     sm = ScoreMatrix.match_mismatch(2, -4)
     dms = nodes_displacement_matrix(g, rg)
     reads = ["$ACGTTGCA", "$ACGGCA", "$TTT"]
@@ -200,6 +201,8 @@ def test_recombination_oracle_fallback_on_ghost_row_graph():
             r_o = ro.exec_mode(mode, s, g, rg, sm, 4, 0.1, dms, 1.0)
             assert r_o.to_string() == recs[i].to_string()
             assert r_o.to_string() == walks[i].to_string()
+    err = capfd.readouterr().err
+    assert "falling back to the scalar oracle" not in err
 
 
 @pytest.mark.parametrize("seed", [11, 12])
