@@ -73,7 +73,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
         sink_ord_ref,   # i32[n]
         oe_ref,         # i32[2]  (o, e)
         sub_ref,        # [7, Bt, Lpo]
-        eq_ref,         # [7, Bt, Lpo]
+        seqc_ref,       # [Bt, Lpo]  read codes (-1 pad)
         aux_ref,        # [Bt, 128]  lane0=L, lane1=bta
         packed_ref,     # out [R, Bt, Lpo]
         packedx_ref,    # out [R, Bt, Lpo]
@@ -87,8 +87,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
         prev_m,         # scratch [Bt, Lpo] i32
         prev_y,         # scratch [Bt, Lpo] i32
         sweep_s,        # scratch [6, Bt, Lpo]
-        lefts_s,        # scratch [n_scr, Bt]
-        rights_s,       # scratch [n_scr, Bt]
+        lr_s,           # scratch [n_scr, Bt]  left*32768 + right
         bsp_s,          # scratch [n_scr, Bt]
         sink_v,         # scratch [8*ceil(S/8), Bt]
         sink_c,         # scratch [...same]
@@ -148,11 +147,12 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             code_i = codes_ref[ii]
             minp = minp_ref[ii]
             subrow = sub_ref[code_i]
-            match = eq_ref[code_i] != 0
+            match = seqc_ref[:, :] == code_i
 
             # ---- predecessor candidates ----
-            pl_f = jnp.transpose(lefts_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
-            pr_f = jnp.transpose(rights_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
+            lr_f = jnp.transpose(lr_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
+            pl_f = lr_f // 32768
+            pr_f = lr_f % 32768
             cov_f = (pl_f <= jcol) & (jcol < pr_f)
             um_f = jnp.where(cov_f, prev_m[:, :], NEGc)
             uy_f = jnp.where(cov_f, prev_y[:, :], NEGc)
@@ -179,12 +179,11 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
                     pidx = pred_idx_ref[ii * Pm + p]
                     ok = pidx >= 0
                     pmv, pyv = pred_rows(pidx, pred_rank_ref[ii * Pm + p])
-                    pl_ = jnp.transpose(
-                        lefts_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
+                    lr_ = jnp.transpose(
+                        lr_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
                     )
-                    pr_ = jnp.transpose(
-                        rights_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
-                    )
+                    pl_ = lr_ // 32768
+                    pr_ = lr_ % 32768
                     cov = ok & (pl_ <= jcol) & (jcol < pr_)
                     v = jnp.where(cov, pmv, NEGc)
                     upd = v > um_b
@@ -337,9 +336,8 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             prev_m[:, :] = m_store
             prev_y[:, :] = y_store
 
-            iw = jnp.minimum(i, lefts_s.shape[0] - 1)
-            lefts_s[pl.ds(iw, 1), :] = jnp.transpose(left)
-            rights_s[pl.ds(iw, 1), :] = jnp.transpose(right)
+            iw = jnp.minimum(i, lr_s.shape[0] - 1)
+            lr_s[pl.ds(iw, 1), :] = jnp.transpose(left * 32768 + right)
             bsp_s[pl.ds(iw, 1), :] = jnp.transpose(bsp_i)
 
             so = sink_ord_ref[ii]
@@ -373,20 +371,23 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
 _cache: dict = {}
 
 
-def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
+def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 2,
             ringc: int = RING) -> int:
-    words = 2 * ringc * (0.5 if ring16 else 1.0) + 28 + 4 + 6 * R + 12
-    # two-ring kernel: stay a notch under the modelled budget until a
-    # Bt=128 configuration is validated on hardware
+    """Words per (Bt x Lpo) element: two compact rings, sub 14 (x2
+    buffers), seq codes 2, three packed outs 6R, scratch ~12.  The
+    seq-code match (vs the former 7-plane eq table) plus R=2 (output
+    double-buffering dominates a three-plane kernel) is what lets the
+    kernel reach Bt=128 at Lpo=256.  TPU A/B (B=512, r3): Bt=64/R=8
+    28.8 ms, Bt=128/R=4 23.5, Bt=128/R=1 21.4, Bt=128/R=2 20.4
+    (5.1 Gcells/s); Bt=256 OOMs."""
+    words = 2 * ringc * (0.5 if ring16 else 1.0) + 14 + 2 + 6 * R + 12
     bt = 128
-    while bt > 8 and words * 4 * bt * Lpo > 13 * 1024 * 1024:
-        bt //= 2
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
     return bt
 
 
-def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
+def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=2,
                        interpret=False, ring16=None):
     """Pallas mode-2 fill; same outputs as `_fill_gap_global[:8]` with
     band bounds in packed lanes Lp/Lp+1 and [n, B, Lpo] plane layout.
@@ -413,7 +414,10 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
         Bt = pick_bt(B, Lpo, ring16, R, ringc)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
-    steps = -(-(n - 1) // R)
+    # n_pad must cover n rows (the wrappers slice packed[:n]); with small
+    # R, ceil((n-1)/R)*R can fall below n and the .at[n-1] clamp would
+    # silently overwrite the last real row
+    steps = -(-n // R)
     n_pad = steps * R
     n_scr = -(-(n + 1) // 8) * 8
     sink_rows = dg.sink_rows
@@ -432,7 +436,7 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
+                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((Bt, 128), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
@@ -462,7 +466,6 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
                         pltpu.VMEM((6, Bt, Lpo), jnp.int32),
                         pltpu.VMEM((n_scr, Bt), jnp.int32),
                         pltpu.VMEM((n_scr, Bt), jnp.int32),
-                        pltpu.VMEM((n_scr, Bt), jnp.int32),
                         pltpu.VMEM((sink_pad, Bt), jnp.int32),
                         pltpu.VMEM((sink_pad, Bt), jnp.int32),
                     ],
@@ -485,9 +488,9 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
         [table[codes7][:, seq], jnp.zeros((7, B, Lpo - Lp), jnp.int32)],
         axis=2,
     )
-    eq = jnp.concatenate(
-        [(seq[None] == codes7[:, None, None]).astype(jnp.int32),
-         jnp.zeros((7, B, Lpo - Lp), jnp.int32)], axis=2
+    seqc = jnp.concatenate(
+        [seq.astype(jnp.int32), jnp.full((B, Lpo - Lp), -1, jnp.int32)],
+        axis=1,
     )
     aux = jnp.zeros((B, 128), jnp.int32)
     aux = aux.at[:, 0].set(L).at[:, 1].set(jnp.asarray(bta, jnp.int32))
@@ -499,7 +502,7 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=8,
         dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1), dg.erank,
         dg.node_start.astype(jnp.int32),
         dg.codes, dg.r_values, dg.min_pred, jnp.asarray(sink_ord), oe,
-        sub, eq, aux,
+        sub, seqc, aux,
     )
     packed = packed[:n].at[n - 1].set(0)
     packed_x = packed_x[:n].at[n - 1].set(0)

@@ -59,7 +59,7 @@ def _make_kernel(R: int, n: int, ring16: bool, ringc: int, seg: int,
         codes_ref,      # i32[n]
         oe_ref,         # i32[2]  (o, e)
         sub_ref,        # [7, Bt, Lpo]   tT[c][seq] — (seq, lnz) order
-        eq_ref,         # [7, Bt, Lpo]
+        seqc_ref,       # [Bt, Lpo]  read codes
         valid_ref,      # [Bt, Lpo]      j < L
         packed_ref,     # out [R, Bt, Lpo]
         packedx_ref,    # out [R, Bt, Lpo]
@@ -98,7 +98,7 @@ def _make_kernel(R: int, n: int, ring16: bool, ringc: int, seg: int,
             is_start = (is_start_ref[ii] != 0) & live
             code_i = codes_ref[ii]
             subrow = sub_ref[code_i]
-            match = eq_ref[code_i] != 0
+            match = seqc_ref[:, :] == code_i
 
             # ---- predecessor candidates ----
             # non-start fast path (":56-73"): plain i-1, ties differ
@@ -261,7 +261,7 @@ _cache: dict = {}
 
 def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
             ringc: int = RING) -> int:
-    words = 2 * ringc * (0.5 if ring16 else 1.0) + 28 + 2 + 6 * R + 10
+    words = 2 * ringc * (0.5 if ring16 else 1.0) + 14 + 4 + 6 * R + 10
     bt = 128
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
@@ -308,7 +308,10 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
         Bt = pick_bt(Brows, Lpo, ring16, R, ringc)
     if Brows % Bt:
         raise ValueError(f"batch {Brows} not divisible by tile {Bt}")
-    steps = -(-(n - 1) // R)
+    # n_pad must cover n rows (the wrappers slice packed[:n]); with small
+    # R, ceil((n-1)/R)*R can fall below n and the .at[n-1] clamp would
+    # silently overwrite the last real row
+    steps = -(-n // R)
     n_pad = steps * R
 
     key = (Lpo, n, Bt, R, Brows, interpret, ring16, ringc, seg, pack)
@@ -324,7 +327,7 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
+                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
@@ -367,18 +370,18 @@ def fill_gap_local_v2(dg, table, seq, L, o, e, Bt=None, R=8,
     codes7 = jnp.arange(7, dtype=jnp.int32)
     # (seq, lnz) argument order (gap_local_poa.rs:57,137)
     sub = table.T[codes7][:, seq]
-    eq = (seq[None] == codes7[:, None, None]).astype(jnp.int32)
+    seqc = seq.astype(jnp.int32)
     jc = jnp.arange(seg, dtype=jnp.int32)
     valid = (jc[None, :] < L[:, None]).astype(jnp.int32)
     if pack > 1:
         sub = sub.reshape(7, Brows, Lpo)
-        eq = eq.reshape(7, Brows, Lpo)
+        seqc = seqc.reshape(Brows, Lpo)
         valid = valid.reshape(Brows, Lpo)
     oe = jnp.asarray([o_i, e_i], dtype=jnp.int32)
     packed, packed_x, packed_y, bv, bkey = fn(
         dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1), dg.erank,
         dg.node_start.astype(jnp.int32),
-        dg.codes, oe, sub, eq, valid,
+        dg.codes, oe, sub, seqc, valid,
     )
     packed = packed[:n].at[n - 1].set(0)
     packed_x = packed_x[:n].at[n - 1].set(0)

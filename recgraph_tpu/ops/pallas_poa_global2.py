@@ -387,7 +387,10 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
         Bt = pick_bt(B, Lpo, ring16, R, ringc)
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by tile {Bt}")
-    steps = -(-(n - 1) // R)
+    # n_pad must cover n rows (the wrappers slice packed[:n]); with small
+    # R, ceil((n-1)/R)*R can fall below n and the .at[n-1] clamp would
+    # silently overwrite the last real row
+    steps = -(-n // R)
     n_pad = steps * R
     n_scr = -(-(n + 1) // 8) * 8
     sink_rows = dg.sink_rows

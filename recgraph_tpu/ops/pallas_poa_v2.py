@@ -201,7 +201,10 @@ def fill_local_v2(dg, table, seq, L, Bt=None, R=8, interpret=False, dtype=None):
         # validates the int16 path cell-exactly).
         dtype = jnp.int32
     neg = -(1 << 14) if dtype == jnp.int16 else NEG
-    steps = -(-(n - 1) // R)
+    # n_pad must cover n rows (the wrappers slice packed[:n]); with small
+    # R, ceil((n-1)/R)*R can fall below n and the .at[n-1] clamp would
+    # silently overwrite the last real row
+    steps = -(-n // R)
     n_pad = steps * R
     key = (n, Lp, Bt, R, B, interpret, dtype)
     fn = _cache.get(key)

@@ -346,7 +346,10 @@ def _call_v5(dg, table, sub, eq, gseq, G, valid, Brows, Lp, Bt, R,
     if Brows % Bt:
         raise ValueError(f"batch {Brows} not divisible by tile {Bt}")
     n = dg.n
-    steps = -(-(n - 1) // R)
+    # n_pad must cover n rows (the wrappers slice packed[:n]); with small
+    # R, ceil((n-1)/R)*R can fall below n and the .at[n-1] clamp would
+    # silently overwrite the last real row
+    steps = -(-n // R)
     n_pad = steps * R
     key = (n, Lp, Bt, R, Brows, interpret, ring16, ringc, seg, npack)
     fn = _cache.get(key)
