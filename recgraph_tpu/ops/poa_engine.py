@@ -474,8 +474,19 @@ def fill_global_long(dg, table, seq, L, bta, bta_max, g=None):
                     fill = _shard_map_fill(
                         mesh, fill, 3, (0, 0, 0, 1, 0, 0, 0, 0)
                     )
-                out = fill(seq_p, L_p, bta_p)
-                if not bool(jax.device_get(out[7].any())):
+                try:
+                    out = fill(seq_p, L_p, bta_p)
+                    overflow = bool(jax.device_get(out[7].any()))
+                except Exception as exc:  # Mosaic VMEM cliff at this W
+                    import sys
+
+                    print(
+                        f"recgraph: windowed mode-0 Pallas kernel failed at "
+                        f"W={Wp} ({str(exc)[:80]}); using the XLA ladder",
+                        file=sys.stderr,
+                    )
+                    break
+                if not overflow:
                     _long_w_hint[dg.n] = Wp
                     packed = jnp.moveaxis(out[3][:, :B], 0, 1)
                     return (out[0][:B], out[1][:B], out[2][:B], packed,
@@ -919,7 +930,7 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
 
         if Lp >= LONG_READ_LP:
             out = poa_gap_engine.fill_gap_global_long(
-                dg, table, seq, L, encode_read_aux(btas), max(btas), o, e
+                dg, table, seq, L, encode_read_aux(btas), max(btas), o, e, g
             )
             (score, last_row, last_col, packed, px, py, lefts, rights,
              ws) = out

@@ -470,14 +470,17 @@ def _fill_gap_global_windowed(dg, table, seq, L, bta, o, e, W):
 _long_w_hint_gap: dict[int, int] = {}
 
 
-def fill_gap_global_long(dg, table, seq, L, bta, bta_max, o, e):
+def fill_gap_global_long(dg, table, seq, L, bta, bta_max, o, e, g=None):
     """Mode-2 fill for long reads: windowed rows with a W ladder.
 
     Mirrors ``poa_engine.fill_global_long``: start at the smallest W
     covering 2·bta plus drift slack (or the last W that worked for this
     graph), double until no read's band overflows, fall back to the
-    exact full-width fill at W >= Lp.  Returns (score, last_row,
-    last_col_abs, packed, packed_x, packed_y, lefts, rights, ws | None).
+    exact full-width fill at W >= Lp.  On TPU the windowed Pallas
+    kernel (pallas_gap_global_win) runs the ladder; the XLA windowed
+    engine is the CPU/fallback path.  Returns (score, last_row,
+    last_col_abs, packed, packed_x, packed_y, lefts, rights, ws | None);
+    planes are [B, n, W].
     """
     Lp = seq.shape[1]
     W = _long_w_hint_gap.get(dg.n, 0)
@@ -486,6 +489,45 @@ def fill_gap_global_long(dg, table, seq, L, bta, bta_max, o, e):
         while W < 2 * bta_max + 64:
             W *= 2
     oj, ej = jnp.int32(o), jnp.int32(e)
+    if (jax.default_backend() == "tpu" and g is not None
+            and o <= 0 and e <= 0):
+        from . import pallas_poa, pallas_gap_global_win
+        from .poa_engine import _pallas_batch_plan, _shard_map_fill
+
+        span = pallas_poa.max_pred_span(g)
+        smem_ok = dg.n * (dg.max_preds + 7) * 4 < 700_000
+        if span < 192 and smem_ok:
+            B = seq.shape[0]
+            mesh, (seq_p, L_p, bta_p), _ = _pallas_batch_plan((seq, L, bta))
+            Wp = W
+            while Wp < Lp:
+                fill = lambda s, l, b: pallas_gap_global_win.fill_gap_global_win(
+                    dg, table, s, l, b, int(o), int(e), Wp, span
+                )
+                if mesh is not None:
+                    fill = _shard_map_fill(
+                        mesh, fill, 3, (0, 0, 0, 1, 1, 1, 0, 0, 0, 0)
+                    )
+                try:
+                    out = fill(seq_p, L_p, bta_p)
+                    overflow = bool(jax.device_get(out[9].any()))
+                except Exception as exc:  # Mosaic VMEM cliff at this W
+                    import sys
+
+                    print(
+                        f"recgraph: windowed mode-2 Pallas kernel failed at "
+                        f"W={Wp} ({str(exc)[:80]}); using the XLA ladder",
+                        file=sys.stderr,
+                    )
+                    break
+                if not overflow:
+                    _long_w_hint_gap[dg.n] = Wp
+                    pk = jnp.moveaxis(out[3][:, :B], 0, 1)
+                    px = jnp.moveaxis(out[4][:, :B], 0, 1)
+                    py = jnp.moveaxis(out[5][:, :B], 0, 1)
+                    return (out[0][:B], out[1][:B], out[2][:B], pk, px, py,
+                            out[6][:B], out[7][:B], out[8][:B])
+                Wp *= 2
     while W < Lp:
         out = _fill_gap_global_windowed(dg, table, seq, L, bta, oj, ej, W=W)
         if not bool(jax.device_get(out[9].any())):
@@ -718,7 +760,7 @@ def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
         bta = encode_read_aux(btas)
         if seq.shape[1] >= LONG_READ_LP:
             out = fill_gap_global_long(
-                dg, table, seq, L, bta, max(btas), o, e
+                dg, table, seq, L, bta, max(btas), o, e, g
             )
             (score, last_row, last_col, packed, px, py, lefts, rights,
              ws) = jax.device_get(out)
