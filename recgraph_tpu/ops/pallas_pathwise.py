@@ -422,7 +422,10 @@ def _group_meta(dg, R: int):
         reps.append([a for a, _ in pairs])
         preds.append([b for _, b in pairs])
     Gd = max(max(counts[1 : n - 1], default=1), 1)
-    steps = -(-(n - 1) // R)
+    # ceil over n (not n-1): guarantees the grid also writes row n-1
+    # (zeros, live gate) so the consumer's out[:n] slice is always
+    # fully initialised even when (n-1) % R == 0
+    steps = -(-n // R)
     n_pad = steps * R
     grep = np.full((n_pad, Gd), -1, np.int32)
     gpred = np.full((n_pad, Gd), 0, np.int32)

@@ -155,9 +155,24 @@ def fill_pathwise_best(dg, table, seq, semiglobal: bool, fits: bool):
         if pallas_pathwise.eligible(dg, table, seq.shape[1]):
             B = seq.shape[0]
             mesh, (seq_p,), _ = _pallas_batch_plan((seq,))
-            fill = lambda s: pallas_pathwise.fill_pathwise_v1(
-                dg, table, s, semiglobal
+            # base (full-P VMEM ring) kernel while its batch tile stays
+            # useful; past that (large P collapses Bt) the path-tiled
+            # kernel streams pred rows from HBM and keeps Bt at 32
+            P_pad = -(-dg.paths_number // 8) * 8
+            Gd = pallas_pathwise._group_meta(dg, 8)[2]
+            bt = pallas_pathwise.pick_bt(
+                seq_p.shape[0], P_pad, seq.shape[1], Gd, 8
             )
+            if bt >= 8:
+                fill = lambda s: pallas_pathwise.fill_pathwise_v1(
+                    dg, table, s, semiglobal
+                )
+            else:
+                from . import pallas_pathwise_bigp
+
+                fill = lambda s: pallas_pathwise_bigp.fill_pathwise_bigp(
+                    dg, table, s, semiglobal
+                )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 1, (0,))
             return fill(seq_p)[:B]

@@ -11,7 +11,7 @@ import random
 import sys
 
 
-def make(outdir, n_back=700, n_reads=10000, seed=42):
+def make(outdir, n_back=700, n_reads=10000, seed=42, n_paths=8):
     rng = random.Random(seed)
     os.makedirs(outdir, exist_ok=True)
     lines, edges, backbone = [], [], []
@@ -36,7 +36,7 @@ def make(outdir, n_back=700, n_reads=10000, seed=42):
             for y in g2:
                 edges.append(f"L\t{x}\t+\t{y}\t+\t0M")
     paths = []
-    for p in range(8):
+    for p in range(n_paths):
         walk = [rng.choice(g) for g in backbone]
         paths.append(walk)
     # cover every node: the pathwise modes (like the reference) index
@@ -77,4 +77,5 @@ if __name__ == "__main__":
         int(sys.argv[2]) if len(sys.argv) > 2 else 700,
         int(sys.argv[3]) if len(sys.argv) > 3 else 10000,
         int(sys.argv[4]) if len(sys.argv) > 4 else 42,
+        int(sys.argv[5]) if len(sys.argv) > 5 else 8,
     )
