@@ -189,9 +189,23 @@ def fill_pathwise_rev_best(dgr, table, seq, L, mode8: bool, fits: bool):
         if pallas_pathwise.eligible_rev(dgr, table, seq.shape[1]):
             B = seq.shape[0]
             mesh, (seq_p, L_p), _ = _pallas_batch_plan((seq, L))
-            fill = lambda s, l: pallas_pathwise.fill_pathwise_rev_v1(
-                dgr, table, s, l, mode8
+            P_pad = -(-dgr.paths_number // 8) * 8
+            Gd = pallas_pathwise._group_meta_rev(dgr, 8)[5]
+            bt = pallas_pathwise.pick_bt(
+                seq_p.shape[0], P_pad, seq.shape[1], Gd, 8
             )
+            if bt >= 8:
+                fill = lambda s, l: pallas_pathwise.fill_pathwise_rev_v1(
+                    dgr, table, s, l, mode8
+                )
+            else:
+                from . import pallas_pathwise_bigp
+
+                fill = lambda s, l: (
+                    pallas_pathwise_bigp.fill_pathwise_rev_bigp(
+                        dgr, table, s, l, mode8
+                    )
+                )
             if mesh is not None:
                 fill = _shard_map_fill(mesh, fill, 2, (0,))
             return fill(seq_p, L_p)[:B]

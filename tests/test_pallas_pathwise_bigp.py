@@ -56,6 +56,28 @@ def test_bigp_bit_exact_p126(p126, semiglobal):
     assert (ref == got).all()
 
 
+@pytest.mark.parametrize("mode8", [True, False])
+def test_bigp_rev_bit_exact_p126(p126, mode8):
+    from recgraph_tpu.ops import recombination_engine
+
+    seqs, g, sm = p126
+    rg = g.reverse()
+    dgr = recombination_engine.rev_device_graph(rg)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(seqs, pad_to=256)
+    assert pallas_pathwise_bigp.eligible_rev_bigp(dgr, sm.table, seq.shape[1])
+    ref = np.asarray(
+        recombination_engine._fill_pathwise_rev(dgr, table, seq, L,
+                                                jnp.bool_(mode8))
+    )
+    got = np.asarray(
+        pallas_pathwise_bigp.fill_pathwise_rev_bigp(
+            dgr, table, seq, L, mode8, interpret=True
+        )
+    )
+    assert (ref == got).all()
+
+
 def test_bigp_bit_exact_small_p(example_paths):
     """Single-tile degenerate case (P=23 -> one 32-path tile)."""
     reads_fa, graph_gfa = example_paths
