@@ -103,9 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
-    if args.engine == "jax":
+    if args.engine == "jax" and args.num_processes <= 1:
         # fail loudly (nonzero, with a diagnostic) when the device
-        # tunnel is wedged instead of hanging forever
+        # tunnel is wedged instead of hanging forever.  Skipped for
+        # multi-process runs: jax.distributed.initialize must be the
+        # first backend-touching call, and its coordinator barrier has
+        # its own timeout.
         from . import watchdog
 
         watchdog.startup_probe()

@@ -11,8 +11,16 @@ groups).  So this engine computes dpm/x/y exactly as the scalar oracle
 
 Design (TPU-first):
 
-- one `lax.scan` over DP rows carrying dpm/x/y as int32[n, B, P, Lp]
-  (leading-row layout so the per-row dynamic_update_slice is in-place);
+- one `lax.scan` over DP rows that EMITS each finished [B, P, Lp] row
+  as a stacked scan output and CARRIES only the previous row plus a
+  compact ring of the pred (node-end) rows — carrying the full
+  [n, B, P, Lp] planes made XLA lay them out batch-minor (4x pad) and
+  copy them at every lax.cond boundary;
+- substitution planes are gathered once per fill ([A, B, Lp]) and all
+  in-scan lane reads are dynamic_slices; running maxima use log-depth
+  shift-max chains (jnp.take with a traced index, table[code][seq],
+  and lax.cummax all lower to generic gathers / O(n) loops that cost
+  50-100 us per row inside a TPU scan body);
 - ~97% of rows (non-start rows + single-pred node starts whose group
   representative is the row alpha) run a closed-form vector program:
   the in-row affine coupling collapses to one (max,+) cummax chain on
@@ -86,6 +94,11 @@ class GapMeta:
     bmaskq: np.ndarray         # bool[n,MB,P] common minus alpha (mask_q quirk)
     bfirst: np.ndarray         # bool[n,MB]  first slot with this tb
     bfixmem: np.ndarray        # bool[n,MB,P] final members minus tb (fixup)
+    # compact pred-row ring (device fill carries only these rows)
+    ring_s: int                # ring size S (reads stay < S writes apart)
+    eslot: np.ndarray          # int32[n]  ring slot of the easy-row pred
+    bslot: np.ndarray          # int32[n,MB] ring slot per block pred
+    wslot: np.ndarray          # int32[n]  write slot (S = dummy, not a pred)
 
 
 def gap_meta(g: PathGraph) -> GapMeta:
@@ -191,6 +204,40 @@ def gap_meta(g: PathGraph) -> GapMeta:
                 emask[i] = common.copy()
                 emask[i, ai] = False
 
+    # ---- compact pred-row ring layout -----------------------------------
+    # Block preds are always node-end rows (pathwise_graph preds_and_paths
+    # keys are pred END positions) or row 0; the device fill keeps only
+    # those rows (plus the previous row) in a ring carry instead of
+    # carrying the full [n, B, P, Lp] planes.  S is the smallest ring
+    # where every read happens fewer than S ring-writes after its slot
+    # was written (same compact-span idea as the Pallas POA kernels).
+    pred_rows = {0}
+    for i in range(1, n - 1):
+        if node_start[i]:
+            for p, _ in rows_blocks[i]:
+                pred_rows.add(int(p))
+    pred_list = sorted(pred_rows)
+    rank = {p: k for k, p in enumerate(pred_list)}
+    import bisect
+
+    S = 1
+    for i in range(1, n - 1):
+        if node_start[i]:
+            cnt_before = bisect.bisect_left(pred_list, i)
+            for p, _ in rows_blocks[i]:
+                S = max(S, cnt_before - rank[int(p)])
+    eslot = np.zeros(n, dtype=np.int32)
+    bslot = np.full((n, MB), S, dtype=np.int32)
+    wslot = np.full(n, S, dtype=np.int32)
+    for p, k in rank.items():
+        wslot[p] = k % S
+    for i in range(1, n - 1):
+        if node_start[i]:
+            if easy[i]:
+                eslot[i] = rank[int(pr[i])] % S
+            for s in range(len(rows_blocks[i])):
+                bslot[i, s] = rank[int(bpred[i, s])] % S
+
     return GapMeta(
         n=n, P=P, maxb=MB, codes=codes, alphas=alphas, node_start=node_start,
         easy=easy, pr=pr, eap=eap, edelta=edelta, emask=emask,
@@ -198,6 +245,7 @@ def gap_meta(g: PathGraph) -> GapMeta:
         bvalid=bvalid, bpred=bpred, bap=bap, btb=btb, bdelta=bdelta,
         bcase1=bcase1, bmask=bmask, bmaskq=bmaskq, bfirst=bfirst,
         bfixmem=bfixmem,
+        ring_s=S, eslot=eslot, bslot=bslot, wslot=wslot,
     )
 
 
@@ -207,21 +255,60 @@ def gap_meta(g: PathGraph) -> GapMeta:
 
 
 def _lane(v, a):
-    """v[:, a] for a scalar (possibly traced) lane index a; v: [B, P]."""
-    return jnp.take(v, a, axis=1)
+    """v[:, a] for a scalar (possibly traced) lane index a; v: [B, P] or
+    [B, P, Lp].  dynamic_slice, NOT jnp.take: a traced-index take lowers
+    to a generic gather on TPU (~15 us per read at [32, 23, 256] vs ~1
+    for the slice)."""
+    if v.ndim == 2:
+        return jax.lax.dynamic_slice(v, (0, a), (v.shape[0], 1))[:, 0]
+    return jax.lax.dynamic_slice(
+        v, (0, a, 0), (v.shape[0], 1, v.shape[2]))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("maxb", "semiglobal"))
+_NEGC = -(1 << 30)
+
+
+def _cummax_lanes(x):
+    """Running max along the last axis as a log-depth shift-max chain.
+
+    XLA's native cumulative-max lowering costs ~40-80 us on a [32, 256]
+    operand inside a TPU scan body; this chain of static pad-shifted
+    maxima costs ~5 us for the same shape."""
+    W = x.shape[-1]
+    d = 1
+    while d < W:
+        sh = jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (d,), _NEGC, x.dtype), x[..., :-d]],
+            axis=-1,
+        )
+        x = jnp.maximum(x, sh)
+        d *= 2
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxb", "semiglobal", "ring_s", "fits", "force_easy"),
+)
 def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
-              maxb, semiglobal):
+              maxb, semiglobal, ring_s, fits=False, force_easy=False):
     """Scan-over-rows delta-form fill.
 
     Returns (dpm, x, y) each int32[n, B, P, Lp] matching the oracle's
     [n, L, P] matrices (transposed, batched) exactly on real columns.
+
+    The scan CARRIES only the previous row plus a compact ring of the
+    pred (node-end) rows — ring_s slots sized by gap_meta so no slot is
+    overwritten before its last read — and EMITS each finished row as a
+    stacked scan output.  Carrying the full [n, B, P, Lp] planes instead
+    (the round-2 design) made XLA lay them out batch-minor (4x pad at
+    B=32) and copy them at every lax.cond boundary: 16 GB HBM and
+    ~440 us/row on a v5e for the example graph.
     """
     (easy, pr, eap, edelta, emask, fap, fcommon_ap, fmask,
      bvalid, bpred, bap, btb, bdelta, bcase1, bmask, bmaskq, bfirst,
-     bfixmem) = xs_meta
+     bfixmem, eslot, bslot, wslot) = xs_meta
+    S = ring_s
     n = codes.shape[0]
     P = emask.shape[1]
     B, Lp = seq.shape
@@ -230,11 +317,18 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
     lane_i = jnp.arange(P, dtype=jnp.int32)
     o = jnp.int32(o)
     e = jnp.int32(e)
+    # substitution planes for every code, gathered once: a per-row
+    # table[code_i][seq] inside the scan is a generic TPU gather
+    # (~75 us/row at [32, 256]); a leading-axis dynamic_slice of this
+    # is ~1 us
+    SUB = jnp.take(table, seq, axis=1)                      # [A, B, Lp]
 
-    def fc_nonstart(X, i, ai, args):
-        """_fill_first_col_gap non-start branch (gap.rs:35-75); x0 == d0."""
+    def fc_nonstart(Xp0, i, ai, args):
+        """_fill_first_col_gap non-start branch (gap.rs:35-75); x0 == d0.
+
+        Xp0: int32[B, P] — column 0 of row i-1's x plane (hoisted by the
+        caller so this branch never touches the scan carries)."""
         ap, cap, maskc = args
-        Xp0 = jax.lax.dynamic_slice(X, (i - 1, 0, 0, 0), (1, B, P, 1))[0, :, :, 0]
         xp_ai = _lane(Xp0, ai)
         xp_ap = _lane(Xp0, ap)
         # common[ap] branch vs not, i==1 special in both
@@ -246,16 +340,17 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         x0 = jnp.where((lane_i == ai)[None, :], x_ai[:, None], x0)
         return x0
 
-    def fc_start(Dm, X, i, ai, hard_ops):
-        """_fill_first_col_gap node-start branch (gap.rs:76-147); x0 == d0."""
+    def fc_start(Xp0s, i, ai, hard_ops):
+        """_fill_first_col_gap node-start branch (gap.rs:76-147); x0 == d0.
+
+        Xp0s: int32[MB, B, P] — column 0 of each pred block's x-plane row
+        (hoisted by the caller)."""
         (valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = (
             hard_ops
         )
         x0 = jnp.zeros((B, P), jnp.int32)
         for s in range(MB):
-            Xp0 = jax.lax.dynamic_slice(
-                X, (pred[s], 0, 0, 0), (1, B, P, 1)
-            )[0, :, :, 0]
+            Xp0 = Xp0s[s]
             xp_tb = _lane(Xp0, tb[s])
             xp_ap = _lane(Xp0, ap[s])
             d_s = delta[s].astype(jnp.int32)
@@ -274,18 +369,17 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
             x0 = jnp.where(fire & fixmem[s][None, :], x0 + va[:, None], x0)
         return x0
 
-    def easy_row(Dm, X, Y, i, ai, x0, args):
-        """The closed-form vector row (oracle _fill_row_vec), batched."""
+    def easy_row(prevD, prevY, i, ai, x0, args):
+        """The closed-form vector row (oracle _fill_row_vec), batched.
+
+        prevD/prevY: int32[B, P, Lp] — the pred row's planes (hoisted)."""
         p, ap, delta, mask = args
-        prevD = jax.lax.dynamic_slice(Dm, (p, 0, 0, 0), (1, B, P, Lp))[0]
-        prevY = jax.lax.dynamic_slice(Y, (p, 0, 0, 0), (1, B, P, Lp))[0]
-        code_i = codes[i]
-        sub = table[code_i][seq]                            # [B, Lp]
+        sub = jax.lax.dynamic_slice(SUB, (codes[i], 0, 0), (1, B, Lp))[0]
         d32 = delta.astype(jnp.int32)
-        pD_ap = jnp.take(prevD, ap, axis=1)                 # [B, Lp]
-        pD_ai = jnp.take(prevD, ai, axis=1)
-        pY_ap = jnp.take(prevY, ap, axis=1)
-        pY_ai = jnp.take(prevY, ai, axis=1)
+        pD_ap = _lane(prevD, ap)                            # [B, Lp]
+        pD_ai = _lane(prevD, ai)
+        pY_ap = _lane(prevY, ap)
+        pY_ai = _lane(prevY, ai)
 
         u_y = pY_ap + d32 * pY_ai + e
         u_dpm = pD_ap + d32 * pD_ai + o + e
@@ -305,7 +399,7 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         dpm0_ai = x0_ai  # dpm col0 == x col0 (mode 6) or 0 (mode 7)
         q = const - e * jcol[None, :]
         q = q.at[:, 0].set(jnp.maximum(dpm0_ai, x0_ai - o))
-        M = jax.lax.cummax(q, axis=1)
+        M = _cummax_lanes(q)
         x_a = o + e * jcol[None, :] + jnp.roll(M, 1, axis=1)
         x_a = x_a.at[:, 0].set(x0_ai)
         dpm_a = jnp.maximum(const, x_a)
@@ -321,14 +415,32 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         inject = jnp.roll(lsel, 1, axis=1) & (jnp.roll(dsel, 1, axis=1) != 2)
         inject = inject.at[:, 1].set(lsel[:, 0])
         inject = inject.at[:, 0].set(False)
-        src = jax.lax.cummax(jnp.where(inject, jcol[None, :], 0), axis=1)
-        x_m = jnp.where(
-            (src == 0)[:, None, :],
-            x0[:, :, None],
-            jnp.take_along_axis(
-                Cval, jnp.maximum(src - 1, 0)[:, None, :], axis=2
-            ),
-        )
+        src = _cummax_lanes(jnp.where(inject, jcol[None, :], 0))
+        if fits:
+            # TPU lane-axis take_along_axis is a slow generic gather
+            # (~90 us at [32, 23, 256]); pack (column << 17 | value +
+            # OFF) per lane and pick the latest inject column with a
+            # shift-max chain instead (valid while plane magnitudes
+            # stay under 2^16 — the caller gates).
+            OFF = 1 << 16
+            Cval_sh = jnp.roll(Cval, 1, axis=2)
+            enc = jnp.where(
+                inject[:, None, :], (jcol << 17) | (Cval_sh + OFF), -1
+            )
+            encM = _cummax_lanes(enc)
+            x_m = jnp.where(
+                (src == 0)[:, None, :],
+                x0[:, :, None],
+                (encM & ((1 << 17) - 1)) - OFF,
+            )
+        else:
+            x_m = jnp.where(
+                (src == 0)[:, None, :],
+                x0[:, :, None],
+                jnp.take_along_axis(
+                    Cval, jnp.maximum(src - 1, 0)[:, None, :], axis=2
+                ),
+            )
         dpm_m = jnp.where(
             (dsel == 0)[:, None, :], Dm_sh,
             jnp.where((dsel == 1)[:, None, :], Ym, x_m),
@@ -351,54 +463,82 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         )
         return Yrow, Xrow, Drow
 
-    def hard_row(Dm, X, Y, i, ai, x0, hard_ops):
-        """Literal per-column program (gap.rs:150-539) as a j-scan."""
+    def hard_row(Dp, Yp, i, ai, x0, hard_ops):
+        """Literal per-column program (gap.rs:150-539).
+
+        Dp/Yp: int32[MB, B, P, Lp] — every pred block's row (hoisted).
+        Only the in-row L/x coupling (and the D select that reads it) is
+        inherently sequential; the U/y pass and the D candidates read
+        pred rows only, so they are computed for every column at once
+        and fed to the per-column scan as sliced inputs — ~3x fewer ops
+        in the scan body, which is dispatch-bound on tiny [B, P] arrays.
+        """
         (valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = (
             hard_ops
         )
-        code_i = codes[i]
-        sub = table[code_i][seq]                            # [B, Lp]
-        Dp = jnp.stack([
-            jax.lax.dynamic_slice(Dm, (pred[s], 0, 0, 0), (1, B, P, Lp))[0]
-            for s in range(MB)
-        ])                                                  # [MB, B, P, Lp]
-        Yp = jnp.stack([
-            jax.lax.dynamic_slice(Y, (pred[s], 0, 0, 0), (1, B, P, Lp))[0]
-            for s in range(MB)
-        ])
+        sub = jax.lax.dynamic_slice(SUB, (codes[i], 0, 0), (1, B, Lp))[0]
 
-        def col(carry, j):
+        # ---- U/y pass and D candidates, vectorized over columns ----
+        y_c = jnp.zeros((B, P, Lp), jnp.int32)
+        u_all, d_all, dfd_all = [], [], []
+        for s in range(MB):
+            w = valid[s]
+            d_s = delta[s].astype(jnp.int32)
+            tb_s, ap_s = tb[s], ap[s]
+            tb_hot = (lane_i == tb_s)[None, :, None]
+            Dp_s, Yp_s = Dp[s], Yp[s]
+            yp_tb = _lane(Yp_s, tb_s)                       # [B, Lp]
+            yp_ap = _lane(Yp_s, ap_s)
+            dp_tb = _lane(Dp_s, tb_s)
+            dp_ap = _lane(Dp_s, ap_s)
+            u_y = yp_ap + d_s * yp_tb + e
+            u_dpm = dp_ap + d_s * dp_tb + o + e
+            usel = (u_dpm >= u_y)[:, None, :]               # [B, 1, Lp]
+            y_from_d = Dp_s - d_s * dp_tb[:, None, :]
+            y_from_y = Yp_s - d_s * yp_tb[:, None, :]
+            elsemask = jnp.where(case1[s], maskq[s], maskb[s])
+            y_c = jnp.where(
+                w & usel & maskb[s][None, :, None], y_from_d, y_c
+            )
+            y_c = jnp.where(
+                w & ~usel & elsemask[None, :, None], y_from_y, y_c
+            )
+            u = jnp.where(usel[:, 0, :], u_dpm, u_y)
+            y_c = jnp.where(w & tb_hot, u[:, None, :], y_c)
+            # D candidates read pred column j-1
+            Dp_sh = jnp.roll(Dp_s, 1, axis=2)
+            dsh_tb = _lane(Dp_sh, tb_s)
+            dsh_ap = _lane(Dp_sh, ap_s)
+            u_all.append(u)
+            d_all.append(dsh_ap + d_s * dsh_tb + sub)
+            dfd_all.append(Dp_sh - d_s * dsh_tb[:, None, :])
+        # y's multi-alpha fixup reads only y (gap.rs:521-537) — hoisted
+        # too; the D select below reads the PRE-fixup y, as the scalar
+        # program does
+        y_fix = y_c
+        for s in range(MB):
+            fire = valid[s] & first[s] & (tb[s] != ai)
+            hot = (lane_i == tb[s])[None, :, None]
+            mem = fixmem[s][None, :, None]
+            va = _lane(y_fix, tb[s]) - _lane(y_fix, ai)
+            y_fix = jnp.where(fire & hot, va[:, None, :], y_fix)
+            y_fix = jnp.where(fire & mem, y_fix + va[:, None, :], y_fix)
+
+        # per-column inputs, column axis leading for the scan
+        U = jnp.moveaxis(jnp.stack(u_all), 2, 0)[1:]        # [Lp-1, MB, B]
+        Dc = jnp.moveaxis(jnp.stack(d_all), 2, 0)[1:]
+        Dfd = jnp.moveaxis(jnp.stack(dfd_all), 3, 0)[1:]    # [Lp-1, MB, B, P]
+        Ypre = jnp.moveaxis(y_c, 2, 0)[1:]                  # [Lp-1, B, P]
+
+        def col(carry, xsj):
             x_row, d_row = carry                            # [B, P]
-            y_c = jnp.zeros((B, P), jnp.int32)
+            u_j, d_j, dfd_j, ypre_j = xsj
             x_c = jnp.zeros((B, P), jnp.int32)
             d_c = jnp.zeros((B, P), jnp.int32)
-            sub_j = jax.lax.dynamic_slice(sub, (0, j), (B, 1))[:, 0]
             for s in range(MB):
-                Dp_j = jax.lax.dynamic_slice(
-                    Dp, (s, 0, 0, j), (1, B, P, 1))[0, :, :, 0]
-                Yp_j = jax.lax.dynamic_slice(
-                    Yp, (s, 0, 0, j), (1, B, P, 1))[0, :, :, 0]
-                Dp_jm1 = jax.lax.dynamic_slice(
-                    Dp, (s, 0, 0, j - 1), (1, B, P, 1))[0, :, :, 0]
                 w = valid[s]
-                d_s = delta[s].astype(jnp.int32)
-                tb_s, ap_s = tb[s], ap[s]
+                tb_s = tb[s]
                 tb_hot = (lane_i == tb_s)[None, :]
-                # U / y
-                u_y = _lane(Yp_j, ap_s) + d_s * _lane(Yp_j, tb_s) + e
-                u_dpm = _lane(Dp_j, ap_s) + d_s * _lane(Dp_j, tb_s) + o + e
-                usel = u_dpm >= u_y                         # [B]
-                y_from_d = Dp_j - d_s * _lane(Dp_j, tb_s)[:, None]
-                y_from_y = Yp_j - d_s * _lane(Yp_j, tb_s)[:, None]
-                elsemask = jnp.where(case1[s], maskq[s], maskb[s])
-                y_c = jnp.where(
-                    w & usel[:, None] & maskb[s][None, :], y_from_d, y_c
-                )
-                y_c = jnp.where(
-                    w & ~usel[:, None] & elsemask[None, :], y_from_y, y_c
-                )
-                u = jnp.where(usel, u_dpm, u_y)
-                y_c = jnp.where(w & tb_hot, u[:, None], y_c)
                 # L / x (reads the in-row carry)
                 nd = (tb_s != ai).astype(jnp.int32)
                 l_x = _lane(x_row, tb_s) + nd * _lane(x_row, ai) + e
@@ -415,42 +555,33 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
                 l = jnp.where(lsel, l_dpm, l_x)
                 x_c = jnp.where(w & tb_hot, l[:, None], x_c)
                 # D / dpm
-                d = _lane(Dp_jm1, ap_s) + d_s * _lane(Dp_jm1, tb_s) + sub_j
-                mx = jnp.maximum(jnp.maximum(d, u), l)
-                is_d = mx == d
-                is_u = ~is_d & (mx == u)
-                d_from_d = Dp_jm1 - d_s * _lane(Dp_jm1, tb_s)[:, None]
+                mx = jnp.maximum(jnp.maximum(d_j[s], u_j[s]), l)
+                is_d = mx == d_j[s]
+                is_u = ~is_d & (mx == u_j[s])
                 dm = jnp.where(
-                    is_d[:, None], d_from_d,
-                    jnp.where(is_u[:, None], y_c, x_c),
+                    is_d[:, None], dfd_j[s],
+                    jnp.where(is_u[:, None], ypre_j, x_c),
                 )
                 d_c = jnp.where(w & maskb[s][None, :], dm, d_c)
                 d_c = jnp.where(w & tb_hot, mx[:, None], d_c)
-            # multi-alpha fixup on all three (gap.rs:521-537)
+            # multi-alpha fixup on x and d (y hoisted above)
             for s in range(MB):
                 fire = valid[s] & first[s] & (tb[s] != ai)
-                hot = (lane_i == tb[s])[None, :]
-                mem = fixmem[s][None, :]
-                for M_ in ("d", "x", "y"):
-                    M = {"d": d_c, "x": x_c, "y": y_c}[M_]
-                    va = _lane(M, tb[s]) - _lane(M, ai)
-                    M = jnp.where(fire & hot, va[:, None], M)
-                    M = jnp.where(fire & mem, M + va[:, None], M)
-                    if M_ == "d":
-                        d_c = M
-                    elif M_ == "x":
-                        x_c = M
-                    else:
-                        y_c = M
-            return (x_c, d_c), (y_c, x_c, d_c)
+                hot = (lane_i == tb[s])[None, None, :]
+                mem = fixmem[s][None, None, :]
+                M = jnp.stack([d_c, x_c])                   # [2, B, P]
+                Mt = jax.lax.dynamic_slice(
+                    M, (0, 0, tb[s]), (2, B, 1))[:, :, 0]
+                Ma = jax.lax.dynamic_slice(M, (0, 0, ai), (2, B, 1))[:, :, 0]
+                va = Mt - Ma
+                M = jnp.where(fire & hot, va[:, :, None], M)
+                M = jnp.where(fire & mem, M + va[:, :, None], M)
+                d_c, x_c = M[0], M[1]
+            return (x_c, d_c), (x_c, d_c)
 
-        (xf, df), (ys, xs_, ds) = jax.lax.scan(
-            col, (x0, x0), jnp.arange(1, Lp, dtype=jnp.int32)
-        )
+        (xf, df), (xs_, ds) = jax.lax.scan(col, (x0, x0), (U, Dc, Dfd, Ypre))
         # assemble rows: col 0 = (0, x0, x0), cols 1.. from the scan
-        Yrow = jnp.concatenate(
-            [jnp.zeros((B, P, 1), jnp.int32), jnp.moveaxis(ys, 0, 2)], axis=2
-        )
+        Yrow = y_fix.at[:, :, 0].set(0)
         Xrow = jnp.concatenate(
             [x0[:, :, None], jnp.moveaxis(xs_, 0, 2)], axis=2
         )
@@ -460,34 +591,69 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         return Yrow, Xrow, Drow
 
     def step(carry, xs):
-        Dm, X, Y = carry
+        prevD, prevY, prevX0, ringD, ringY, ringX0 = carry
         (i, easy_i, pr_i, eap_i, edelta_i, emask_i, fap_i, fcap_i, fmask_i,
-         valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = xs
+         valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem,
+         eslot_i, bslot_i, wslot_i) = xs
         ai = alphas[i]
+        ns = node_start[i]
         hard_ops = (valid, pred, ap, tb, delta, case1, maskb, maskq, first,
                     fixmem)
+        # All carry reads are hoisted out of the lax.cond branches (a
+        # cond whose branches capture an in-place-updated carry forces
+        # XLA to copy it at the branch boundary every row).  Node-start
+        # rows read pred blocks from the ring; other rows read prev.
+        Dp = jnp.stack([
+            jax.lax.dynamic_slice(
+                ringD, (bslot_i[s], 0, 0, 0), (1, B, P, Lp))[0]
+            for s in range(MB)
+        ])                                                  # [MB, B, P, Lp]
+        Yp = jnp.stack([
+            jax.lax.dynamic_slice(
+                ringY, (bslot_i[s], 0, 0, 0), (1, B, P, Lp))[0]
+            for s in range(MB)
+        ])
+        Xp0s = jnp.stack([
+            jax.lax.dynamic_slice(ringX0, (bslot_i[s], 0, 0), (1, B, P))[0]
+            for s in range(MB)
+        ])                                                  # [MB, B, P]
+        De = jnp.where(
+            ns, jax.lax.dynamic_slice(
+                ringD, (eslot_i, 0, 0, 0), (1, B, P, Lp))[0],
+            prevD,
+        )
+        Ye = jnp.where(
+            ns, jax.lax.dynamic_slice(
+                ringY, (eslot_i, 0, 0, 0), (1, B, P, Lp))[0],
+            prevY,
+        )
         if semiglobal:
             x0 = jnp.zeros((B, P), jnp.int32)
         else:
             x0 = jax.lax.cond(
-                node_start[i],
-                lambda: fc_start(Dm, X, i, ai, hard_ops),
-                lambda: fc_nonstart(X, i, ai, (fap_i, fcap_i, fmask_i)),
+                ns,
+                lambda: fc_start(Xp0s, i, ai, hard_ops),
+                lambda: fc_nonstart(prevX0, i, ai, (fap_i, fcap_i, fmask_i)),
             )
-        Yrow, Xrow, Drow = jax.lax.cond(
-            easy_i,
-            lambda: easy_row(Dm, X, Y, i, ai, x0,
-                             (pr_i, eap_i, edelta_i, emask_i)),
-            lambda: hard_row(Dm, X, Y, i, ai, x0, hard_ops),
-        )
-        Dm = jax.lax.dynamic_update_slice(Dm, Drow[None], (i, 0, 0, 0))
-        X = jax.lax.dynamic_update_slice(X, Xrow[None], (i, 0, 0, 0))
-        Y = jax.lax.dynamic_update_slice(Y, Yrow[None], (i, 0, 0, 0))
-        return (Dm, X, Y), None
+        if force_easy:
+            Yrow, Xrow, Drow = easy_row(
+                De, Ye, i, ai, x0, (pr_i, eap_i, edelta_i, emask_i))
+        else:
+            Yrow, Xrow, Drow = jax.lax.cond(
+                easy_i,
+                lambda: easy_row(De, Ye, i, ai, x0,
+                                 (pr_i, eap_i, edelta_i, emask_i)),
+                lambda: hard_row(Dp, Yp, i, ai, x0, hard_ops),
+            )
+        ringD = jax.lax.dynamic_update_slice(
+            ringD, Drow[None], (wslot_i, 0, 0, 0))
+        ringY = jax.lax.dynamic_update_slice(
+            ringY, Yrow[None], (wslot_i, 0, 0, 0))
+        ringX0 = jax.lax.dynamic_update_slice(
+            ringX0, Xrow[:, :, 0][None], (wslot_i, 0, 0))
+        carry = (Drow, Yrow, Xrow[:, :, 0], ringD, ringY, ringX0)
+        return carry, (Yrow, Xrow, Drow)
 
-    Dm0 = jnp.zeros((n, B, P, Lp), jnp.int32)
-    X0 = jnp.zeros((n, B, P, Lp), jnp.int32)
-    Y0 = jnp.zeros((n, B, P, Lp), jnp.int32)
     # row 0: open+extend ladder on the row-0 alpha lane (gap.rs:23-33)
     a0 = alphas[0]
     ladder = (o + e * jcol) * (jcol >= 1)
@@ -495,16 +661,25 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         (lane_i == a0)[None, :, None] & (jcol >= 1)[None, None, :],
         jnp.broadcast_to(ladder[None, None, :], (B, P, Lp)), 0,
     )
-    Y0 = Y0.at[0].set(row0)
-    Dm0 = Dm0.at[0].set(row0)
+    # ring slot 0 is row 0 (rank 0; always in the pred set); slot S is
+    # the dummy non-pred rows write to
+    ringD0 = jnp.zeros((S + 1, B, P, Lp), jnp.int32).at[0].set(row0)
+    ringY0 = jnp.zeros((S + 1, B, P, Lp), jnp.int32).at[0].set(row0)
+    ringX00 = jnp.zeros((S + 1, B, P), jnp.int32)
 
     rows = jnp.arange(1, n - 1, dtype=jnp.int32)
     sl = slice(1, n - 1)
     xs = (rows, easy[sl], pr[sl], eap[sl], edelta[sl], emask[sl], fap[sl],
           fcommon_ap[sl], fmask[sl], bvalid[sl], bpred[sl], bap[sl], btb[sl],
           bdelta[sl], bcase1[sl], bmask[sl], bmaskq[sl], bfirst[sl],
-          bfixmem[sl])
-    (Dm, X, Y), _ = jax.lax.scan(step, (Dm0, X0, Y0), xs)
+          bfixmem[sl], eslot[sl], bslot[sl], wslot[sl])
+    carry0 = (row0, row0, jnp.zeros((B, P), jnp.int32),
+              ringD0, ringY0, ringX00)
+    _, (Ys, Xs, Ds) = jax.lax.scan(step, carry0, xs)
+    zrow = jnp.zeros((1, B, P, Lp), jnp.int32)
+    Dm = jnp.concatenate([row0[None], Ds, zrow], axis=0)
+    X = jnp.concatenate([zrow, Xs, zrow], axis=0)
+    Y = jnp.concatenate([row0[None], Ys, zrow], axis=0)
     return Dm, X, Y
 
 
@@ -523,13 +698,20 @@ def fill_gap_device(g: PathGraph, sm: ScoreMatrix, seq, o: int, e: int,
             meta.easy, meta.pr, meta.eap, meta.edelta, meta.emask, meta.fap,
             meta.fcommon_ap, meta.fmask, meta.bvalid, meta.bpred, meta.bap,
             meta.btb, meta.bdelta, meta.bcase1, meta.bmask, meta.bmaskq,
-            meta.bfirst, meta.bfixmem,
+            meta.bfirst, meta.bfixmem, meta.eslot, meta.bslot, meta.wslot,
         )
     )
+    # gate for the packed column|value chain in easy_row: plane
+    # magnitudes must fit 16 bits (alpha lanes are bounded by the score
+    # ladder over Lp columns; delta lanes by twice that)
+    Lp = int(seq.shape[1])
+    mt = int(np.abs(np.asarray(sm.table)).max())
+    fits = 2 * (Lp * (mt + max(abs(o), abs(e))) + abs(o)) < (1 << 16)
     return _fill_gap(
         xs_meta, jnp.asarray(meta.codes), jnp.asarray(meta.alphas),
         jnp.asarray(meta.node_start), table, seq, o, e,
-        maxb=meta.maxb, semiglobal=semiglobal,
+        maxb=meta.maxb, semiglobal=semiglobal, ring_s=meta.ring_s,
+        fits=fits, force_easy=bool(meta.easy[1 : meta.n - 1].all()),
     )
 
 
@@ -702,7 +884,7 @@ def _endings_gap_semi(finalcol_b, g: PathGraph) -> tuple[int, int]:
 
 
 def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
-              o: int, e: int, chunk_bytes=1 << 29) -> list[tuple[int, str]]:
+              o: int, e: int, chunk_bytes=2 << 30) -> list[tuple[int, str]]:
     """Modes 6/7 on device: returns [(best_path, printed line), ...]
     matching oracle exec_gap_global / exec_gap_semiglobal exactly.
 
@@ -718,8 +900,11 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
     out: list[tuple[int, str]] = []
     Lp_all = _align_lp(sequences)
     per_read = 3 * n * P * Lp_all * 4
-    # 512 cap: the XLA scan carry stops updating in place at large
-    # batches (CLAUDE.md "Known upstream issues")
+    # 2 GiB default: the planes are scan OUTPUTS (written once), so the
+    # only cost of a bigger chunk is HBM; the hard-row column scans are
+    # batch-independent latency, so wide chunks amortise them.  512 cap:
+    # the XLA scan carry stops updating in place at large batches
+    # (CLAUDE.md "Known upstream issues").
     chunk = max(1, min(512, int(chunk_bytes // per_read)))
     alphas_j = jnp.asarray(meta.alphas)
     node_start_j = jnp.asarray(meta.node_start)
