@@ -32,7 +32,7 @@ from ..io.gaf import GafRecord
 from ..oracle import pathwise
 from ..scoring import GAP
 from .encode import path_device_graph, encode_reads, encode_read_aux
-from .poa_engine import D, LOW_D, L_DIR, U_DIR
+from .poa_engine import D, LOW_D, L_DIR, U_DIR, cummax_last, sub_planes, sub_row
 
 NEG = -(1 << 28)
 
@@ -53,6 +53,7 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     gseq = table[seq, GAP]                                 # [B, Lp]
     G = jnp.cumsum(gseq, axis=1)
+    SUBP = sub_planes(table, seq)                          # [A, B, Lp]
     qdiag = jnp.arange(P)
 
     def step(carry, xs):
@@ -67,7 +68,7 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
         A = carry
         i, code_i, pvec, rvec, on = xs                     # [P] each
         gap_i = table[code_i, GAP]
-        subrow = table[code_i][seq]                        # [B, Lp]
+        subrow = sub_row(SUBP, code_i)                     # [B, Lp]
         p_safe = jnp.maximum(pvec, 0)
         r_safe = jnp.maximum(rvec, 0)
 
@@ -81,7 +82,7 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
         first_r = jnp.where(semiglobal, 0, Ar[:, :, 0] + gap_i)  # j == 0
         Achain = jnp.maximum(d_r, u_r)
         Achain = Achain.at[:, :, 0].set(first_r)
-        rep_row = G[:, None, :] + jax.lax.cummax(Achain - G[:, None, :], axis=2)
+        rep_row = G[:, None, :] + cummax_last(Achain - G[:, None, :])
 
         # directions from the rep values (tie order mx==d, mx==u, else L)
         dirD = rep_row == d_r
@@ -105,10 +106,10 @@ def _fill_pathwise(dg, table, seq, semiglobal, encode_chain=True):
             enc = jnp.where(
                 nonL, (jcol << 17) | (V - G[:, None, :] + OFF), -1
             )
-            enc = jax.lax.cummax(enc, axis=2)
+            enc = cummax_last(enc)
             row = G[:, None, :] + (enc & ((1 << 17) - 1)) - OFF
         else:
-            kidx = jax.lax.cummax(jnp.where(nonL, jcol, -1), axis=2)
+            kidx = cummax_last(jnp.where(nonL, jcol, -1))
             Vk = jnp.take_along_axis(V, kidx, axis=2)
             Gk = jnp.take_along_axis(
                 jnp.broadcast_to(G[:, None, :], V.shape), kidx, axis=2

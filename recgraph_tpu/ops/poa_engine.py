@@ -35,6 +35,48 @@ from .encode import poa_device_graph, encode_reads, encode_read_aux
 
 NEG = -(1 << 28)  # -inf stand-in that survives a few additions in int32
 
+
+def cummax_last(x):
+    """Running max along the last axis.
+
+    On TPU, XLA's cumulative-op lowering costs ~40-80 us on a [32, 256]
+    operand inside a scan body; a log-depth chain of statically shifted
+    maxima costs ~5 us.  Other backends keep the native op (the chain
+    does log2(W) full passes, a CPU pessimisation).
+    """
+    if jax.default_backend() != "tpu":
+        return jax.lax.cummax(x, axis=x.ndim - 1)
+    W = x.shape[-1]
+    lo = jnp.asarray(
+        jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min // 2, x.dtype,
+    )
+    d = 1
+    while d < W:
+        sh = jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (d,), lo, x.dtype), x[..., :-d]],
+            axis=-1,
+        )
+        x = jnp.maximum(x, sh)
+        d *= 2
+    return x
+
+
+def sub_planes(table, seq):
+    """Substitution planes for every alphabet code: [A, B, Lp].
+
+    table[code_i][seq] per scan row is a generic TPU gather (~75 us/row
+    at [32, 256]); gathering once and dynamic-slicing the code's plane
+    per row is ~1 us.  Pass ``table.T`` for the transposed local-mode
+    lookup."""
+    return jnp.take(table, seq, axis=1)
+
+
+def sub_row(SUBP, code_i):
+    """SUBP[code_i] via a leading-axis dynamic_slice (cheap on TPU)."""
+    A, B, Lp = SUBP.shape
+    return jax.lax.dynamic_slice(SUBP, (code_i, 0, 0), (1, B, Lp))[0]
+
 # direction codes: match reference bitfield_path.rs:3-15 plus the
 # reference's out-of-range 'u' (gap_global_abpoa.rs:154, a preserved quirk)
 _DIRS = "ODdLUXYMu"
@@ -117,13 +159,14 @@ def _fill_global(dg: "PoaDeviceGraph", table, seq, L, bta):
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     gseq = table[seq, GAP]          # [B, Lp]  sm(seq[j], '-')
     gcol0 = table[GAP, seq]         # [B, Lp]  sm('-', seq[j]) (row 0)
+    SUBP = sub_planes(table, seq)   # [A, B, Lp]
 
     def step(carry, xs):
         m, lefts, rights, bsp = carry
         i, code_i, pidx, pmask, minp, r_i = xs
         pidx_safe = jnp.maximum(pidx, 0)
         gnode_i = table[code_i, GAP]
-        subrow_i = table[code_i][seq]
+        subrow_i = sub_row(SUBP, code_i)
 
         # --- adaptive band (utils.rs:17-72 via graph.set_ampl_for_row) ---
         pred_bsp = bsp[:, pidx_safe]                       # [B, Pm]
@@ -191,7 +234,7 @@ def _fill_global(dg: "PoaDeviceGraph", table, seq, L, bta):
 
         grow = jnp.where(i == 0, gcol0, gseq)
         G = jnp.cumsum(grow, axis=1)
-        m_row = G + jax.lax.cummax(A - G, axis=1)
+        m_row = G + cummax_last(A - G)
         m_row = jnp.where(in_band, m_row, NEG)
 
         # --- rightmost in-band argmax => best_scoring_pos (":129-130") ---
@@ -366,7 +409,7 @@ def _fill_global_windowed(dg: "PoaDeviceGraph", table, seq, L, bta, W):
 
         grow = jnp.where(i == 0, table[GAP, seq_w], gseq_w)
         G = jnp.cumsum(grow, axis=1)
-        m_row = G + jax.lax.cummax(A - G, axis=1)
+        m_row = G + cummax_last(A - G)
         m_row = jnp.where(in_band, m_row, NEG)
 
         # rightmost in-band argmax => best_scoring_pos
@@ -517,6 +560,7 @@ def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
     # (local_poa.rs:202-221) — transposed vs the global modes; matters
     # for asymmetric matrices (the shipped HOXD70 is asymmetric)
     tT = table.T
+    SUBP = sub_planes(tT, seq)      # [A, B, Lp]
     valid = jcol[None, :] < L[:, None]
 
     def step(carry, xs):
@@ -524,7 +568,7 @@ def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
         i, code_i, is_start, pidx, pmask = xs
         pidx_safe = jnp.maximum(pidx, 0)
         gnode_i = tT[code_i, GAP]
-        subrow_i = tT[code_i][seq]
+        subrow_i = sub_row(SUBP, code_i)
         mp = m[:, pidx_safe, :]                            # [B, Pm, Lp]
         mvals = jnp.where(pmask[None, :, None], mp, NEG)
         mp_sh = jnp.roll(mvals, 1, axis=2).at[:, :, 0].set(NEG)
@@ -544,7 +588,7 @@ def _fill_local(dg: "PoaDeviceGraph", table, seq, L):
         A = jnp.where(jcol == 0, 0, A)
         A = jnp.where((i == 0) & (jcol > 0)[None, :], 0, A)
         G = jnp.cumsum(gseq, axis=1)
-        m_row = G + jax.lax.cummax(A - G, axis=1)
+        m_row = G + cummax_last(A - G)
         m_row = jnp.where(valid, m_row, NEG)
         m_row = jnp.where(i == 0, jnp.zeros_like(m_row), m_row)
         m_row = jnp.where(jcol == 0, 0, m_row)

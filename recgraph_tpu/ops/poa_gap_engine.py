@@ -40,6 +40,8 @@ from .poa_engine import (
     L_DIR,
     U_DIR,
     X_DIR,
+    sub_planes,
+    sub_row,
     Y_DIR,
     M_DIR,
     LOW_U,
@@ -89,12 +91,13 @@ def _fill_gap_global(dg, table, seq, L, bta, o, e):
     n, Pm = dg.n, dg.max_preds
     B, Lp = seq.shape
     jcol = jnp.arange(Lp, dtype=jnp.int32)
+    SUBP = sub_planes(table, seq)   # [A, B, Lp]
 
     def step(carry, xs):
         m, y, lefts, rights, bsp = carry
         i, code_i, pidx, pmask, minp, r_i = xs
         pidx_safe = jnp.maximum(pidx, 0)
-        subrow_i = table[code_i][seq]
+        subrow_i = sub_row(SUBP, code_i)
 
         # --- adaptive band (same as mode 0) ---
         pred_bsp = bsp[:, pidx_safe]
@@ -549,6 +552,7 @@ def _fill_gap_local(dg, table, seq, L, o, e):
     B, Lp = seq.shape
     # (seq[j], lnz[i]) argument order, as in gap_local_poa.rs:57,137
     tT = table.T
+    SUBP = sub_planes(tT, seq)      # [A, B, Lp]
     jcol = jnp.arange(Lp, dtype=jnp.int32)
     valid = jcol[None, :] < L[:, None]
     in_band = valid
@@ -558,7 +562,7 @@ def _fill_gap_local(dg, table, seq, L, o, e):
         m, y, best_val, best_i, best_j = carry
         i, code_i, is_start, pidx, pmask = xs
         pidx_safe = jnp.maximum(pidx, 0)
-        subrow_i = tT[code_i][seq]
+        subrow_i = sub_row(SUBP, code_i)
 
         mp = jnp.where(pmask[None, :, None], m[:, pidx_safe, :], NEG)
         yp = jnp.where(pmask[None, :, None], y[:, pidx_safe, :], NEG)

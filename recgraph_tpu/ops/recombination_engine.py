@@ -43,7 +43,10 @@ from .pathwise_engine import (
     _align_lp, _final_column, _extract_plane, _walk_pathwise,
     _record_from_walk, fill_pathwise_best,
 )
-from .poa_engine import D as D_C, LOW_D as LOW_D_C, L_DIR as L_C, U_DIR as U_C
+from .poa_engine import (
+    D as D_C, LOW_D as LOW_D_C, L_DIR as L_C, U_DIR as U_C,
+    sub_planes, sub_row,
+)
 
 _DIRCH = {1: "D", 2: "d", 3: "L", 4: "U"}
 
@@ -76,7 +79,9 @@ def _build_rev_device_graph(rg: PathGraph) -> PathDeviceGraph:
 
 
 def _suffix_cummax(x):
-    return jax.lax.cummax(x[..., ::-1], axis=x.ndim - 1)[..., ::-1]
+    from .poa_engine import cummax_last
+
+    return cummax_last(x[..., ::-1])[..., ::-1]
 
 
 @functools.partial(jax.jit, static_argnames=("encode_chain",))
@@ -93,6 +98,7 @@ def _fill_pathwise_rev(dg, table, seq, L, mode8, encode_chain=True):
     rev = jnp.where(jcol[None, :] == (L - 1)[:, None], SENTINEL, rev)
     in_read = jcol[None, :] < L[:, None]
     gseq = jnp.where(in_read, table[rev, GAP], 0)          # [B, Lp]
+    SUBP = sub_planes(table, rev)                          # [A, B, Lp]
     Gs = jnp.cumsum(gseq[:, ::-1], axis=1)[:, ::-1]        # suffix sums
     is_last = jcol[None, :] == (L - 1)[:, None]
 
@@ -102,7 +108,7 @@ def _fill_pathwise_rev(dg, table, seq, L, mode8, encode_chain=True):
         A = carry                                          # [n, B, P, Lp]
         i, code_i, pvec, rvec, on, qsrc = xs
         gap_i = table[code_i, GAP]
-        subrow = table[code_i][rev]
+        subrow = sub_row(SUBP, code_i)
         p_safe = jnp.maximum(pvec, 0)
         r_safe = jnp.maximum(rvec, 0)
 
