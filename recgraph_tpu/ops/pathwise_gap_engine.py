@@ -99,6 +99,16 @@ class GapMeta:
     eslot: np.ndarray          # int32[n]  ring slot of the easy-row pred
     bslot: np.ndarray          # int32[n,MB] ring slot per block pred
     wslot: np.ndarray          # int32[n]  write slot (S = dummy, not a pred)
+    # hard-row last-writer owner maps (vectorised per-column program):
+    # each block's per-column writes hit maskb|{tb}, later blocks
+    # overwrite earlier ones, so the final lane value is the owning
+    # (last-writing) block's formula — selected by one-hot instead of a
+    # sequential per-block where-chain
+    bown: np.ndarray           # bool[n,MB,P] lane owned by block s
+    bfire: np.ndarray          # bool[n,MB]  fixup fires (valid&first&tb!=ai)
+    bisa: np.ndarray           # bool[n,MB]  the fire block whose fixmem
+                               #   contains the row alpha (at most one)
+    bafter: np.ndarray         # bool[n,MB]  fire blocks ordered after it
 
 
 def gap_meta(g: PathGraph) -> GapMeta:
@@ -231,12 +241,32 @@ def gap_meta(g: PathGraph) -> GapMeta:
     wslot = np.full(n, S, dtype=np.int32)
     for p, k in rank.items():
         wslot[p] = k % S
+    bown = np.zeros((n, MB, P), dtype=bool)
+    bfire = np.zeros((n, MB), dtype=bool)
+    bisa = np.zeros((n, MB), dtype=bool)
+    bafter = np.zeros((n, MB), dtype=bool)
     for i in range(1, n - 1):
         if node_start[i]:
             if easy[i]:
                 eslot[i] = rank[int(pr[i])] % S
-            for s in range(len(rows_blocks[i])):
+            nb = len(rows_blocks[i])
+            for s in range(nb):
                 bslot[i, s] = rank[int(bpred[i, s])] % S
+            ownid = np.full(P, -1, dtype=np.int64)
+            ai = int(alphas[i])
+            saw_sa = False
+            for s in range(nb):
+                wset = bmask[i, s].copy()
+                wset[int(btb[i, s])] = True
+                ownid[wset] = s
+                fire = bool(bfirst[i, s]) and int(btb[i, s]) != ai
+                bfire[i, s] = fire
+                if fire:
+                    bafter[i, s] = saw_sa
+                    if bfixmem[i, s, ai]:
+                        bisa[i, s] = True
+                        saw_sa = True
+            bown[i] = ownid[None, :] == np.arange(MB)[:, None]
 
     return GapMeta(
         n=n, P=P, maxb=MB, codes=codes, alphas=alphas, node_start=node_start,
@@ -246,6 +276,7 @@ def gap_meta(g: PathGraph) -> GapMeta:
         bcase1=bcase1, bmask=bmask, bmaskq=bmaskq, bfirst=bfirst,
         bfixmem=bfixmem,
         ring_s=S, eslot=eslot, bslot=bslot, wslot=wslot,
+        bown=bown, bfire=bfire, bisa=bisa, bafter=bafter,
     )
 
 
@@ -307,7 +338,7 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
     """
     (easy, pr, eap, edelta, emask, fap, fcommon_ap, fmask,
      bvalid, bpred, bap, btb, bdelta, bcase1, bmask, bmaskq, bfirst,
-     bfixmem, eslot, bslot, wslot) = xs_meta
+     bfixmem, eslot, bslot, wslot, bown, bfire, bisa, bafter) = xs_meta
     S = ring_s
     n = codes.shape[0]
     P = emask.shape[1]
@@ -346,7 +377,7 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         Xp0s: int32[MB, B, P] — column 0 of each pred block's x-plane row
         (hoisted by the caller)."""
         (valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = (
-            hard_ops
+            hard_ops[:10]
         )
         x0 = jnp.zeros((B, P), jnp.int32)
         for s in range(MB):
@@ -470,12 +501,19 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         Only the in-row L/x coupling (and the D select that reads it) is
         inherently sequential; the U/y pass and the D candidates read
         pred rows only, so they are computed for every column at once
-        and fed to the per-column scan as sliced inputs — ~3x fewer ops
-        in the scan body, which is dispatch-bound on tiny [B, P] arrays.
+        and fed to the per-column scan as sliced inputs.  Inside the
+        scan the per-block sequential where-chains are replaced by the
+        host-precomputed last-writer owner one-hots (``bown``) — each
+        block's writes hit maskb|{tb} for all three matrices, so the
+        final lane value is the owning block's formula evaluated on the
+        previous column and the FINAL in-column x (block s reads x as
+        of block s, which equals final x exactly on the lanes s owns).
+        The column scan body is issue-bound on tiny [B, P] arrays; the
+        block axis runs as one vector dimension instead of a Python
+        unroll.
         """
-        (valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem) = (
-            hard_ops
-        )
+        (valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem,
+         own, fireb, isa, after) = hard_ops
         sub = jax.lax.dynamic_slice(SUB, (codes[i], 0, 0), (1, B, Lp))[0]
 
         # ---- U/y pass and D candidates, vectorized over columns ----
@@ -525,58 +563,68 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
             y_fix = jnp.where(fire & mem, y_fix + va[:, None, :], y_fix)
 
         # per-column inputs, column axis leading for the scan
-        U = jnp.moveaxis(jnp.stack(u_all), 2, 0)[1:]        # [Lp-1, MB, B]
-        Dc = jnp.moveaxis(jnp.stack(d_all), 2, 0)[1:]
-        Dfd = jnp.moveaxis(jnp.stack(dfd_all), 3, 0)[1:]    # [Lp-1, MB, B, P]
+        U = jnp.moveaxis(jnp.stack(u_all, axis=1), 2, 0)[1:]   # [Lp-1, B, MB]
+        Dc = jnp.moveaxis(jnp.stack(d_all, axis=1), 2, 0)[1:]
+        Dfd = jnp.moveaxis(jnp.stack(dfd_all, axis=1), 3, 0)[1:]  # [Lp-1,B,MB,P]
         Ypre = jnp.moveaxis(y_c, 2, 0)[1:]                  # [Lp-1, B, P]
+
+        oh = (lane_i[None, :] == tb[:, None]).astype(jnp.int32)  # [MB, P]
+        ohb = oh.astype(bool)
+        nd = (tb != ai).astype(jnp.int32)                   # [MB]
+        own32 = own.astype(jnp.int32)                       # [MB, P]
+        fire32 = fireb.astype(jnp.int32)                    # [MB]
+        isa32 = isa.astype(jnp.int32)
+        after32 = after.astype(jnp.int32)
+        fixmem32 = fixmem.astype(jnp.int32)                 # [MB, P]
+        hotl = (fire32[:, None] * oh).sum(0) > 0            # [P]
 
         def col(carry, xsj):
             x_row, d_row = carry                            # [B, P]
             u_j, d_j, dfd_j, ypre_j = xsj
-            x_c = jnp.zeros((B, P), jnp.int32)
-            d_c = jnp.zeros((B, P), jnp.int32)
-            for s in range(MB):
-                w = valid[s]
-                tb_s = tb[s]
-                tb_hot = (lane_i == tb_s)[None, :]
-                # L / x (reads the in-row carry)
-                nd = (tb_s != ai).astype(jnp.int32)
-                l_x = _lane(x_row, tb_s) + nd * _lane(x_row, ai) + e
-                l_dpm = _lane(d_row, tb_s) + nd * _lane(d_row, ai) + o + e
-                lsel = l_dpm >= l_x
-                x_from_d = d_row - nd * _lane(d_row, tb_s)[:, None]
-                x_from_x = x_row - nd * _lane(x_row, tb_s)[:, None]
-                x_c = jnp.where(
-                    w & lsel[:, None] & maskb[s][None, :], x_from_d, x_c
-                )
-                x_c = jnp.where(
-                    w & ~lsel[:, None] & maskb[s][None, :], x_from_x, x_c
-                )
-                l = jnp.where(lsel, l_dpm, l_x)
-                x_c = jnp.where(w & tb_hot, l[:, None], x_c)
-                # D / dpm
-                mx = jnp.maximum(jnp.maximum(d_j[s], u_j[s]), l)
-                is_d = mx == d_j[s]
-                is_u = ~is_d & (mx == u_j[s])
-                dm = jnp.where(
-                    is_d[:, None], dfd_j[s],
-                    jnp.where(is_u[:, None], ypre_j, x_c),
-                )
-                d_c = jnp.where(w & maskb[s][None, :], dm, d_c)
-                d_c = jnp.where(w & tb_hot, mx[:, None], d_c)
-            # multi-alpha fixup on x and d (y hoisted above)
-            for s in range(MB):
-                fire = valid[s] & first[s] & (tb[s] != ai)
-                hot = (lane_i == tb[s])[None, None, :]
-                mem = fixmem[s][None, None, :]
-                M = jnp.stack([d_c, x_c])                   # [2, B, P]
-                Mt = jax.lax.dynamic_slice(
-                    M, (0, 0, tb[s]), (2, B, 1))[:, :, 0]
-                Ma = jax.lax.dynamic_slice(M, (0, 0, ai), (2, B, 1))[:, :, 0]
-                va = Mt - Ma
-                M = jnp.where(fire & hot, va[:, :, None], M)
-                M = jnp.where(fire & mem, M + va[:, :, None], M)
-                d_c, x_c = M[0], M[1]
+            # L / x, all blocks at once (reads the in-row carry only)
+            x_tb = (x_row[:, None, :] * oh[None]).sum(-1)   # [B, MB]
+            d_tb = (d_row[:, None, :] * oh[None]).sum(-1)
+            x_ai = _lane(x_row, ai)
+            d_ai = _lane(d_row, ai)
+            l_x = x_tb + nd[None] * x_ai[:, None] + e
+            l_dpm = d_tb + nd[None] * d_ai[:, None] + o + e
+            lsel = l_dpm >= l_x
+            l = jnp.where(lsel, l_dpm, l_x)                 # [B, MB]
+            xm = jnp.where(
+                lsel[:, :, None],
+                d_row[:, None, :] - nd[None, :, None] * d_tb[:, :, None],
+                x_row[:, None, :] - nd[None, :, None] * x_tb[:, :, None],
+            )                                               # [B, MB, P]
+            cand_x = jnp.where(ohb[None], l[:, :, None], xm)
+            x_c = (cand_x * own32[None]).sum(axis=1)        # [B, P]
+            # D / dpm
+            mx = jnp.maximum(jnp.maximum(d_j, u_j), l)      # [B, MB]
+            is_d = mx == d_j
+            is_u = ~is_d & (mx == u_j)
+            dm = jnp.where(
+                is_d[:, :, None], dfd_j,
+                jnp.where(is_u[:, :, None], ypre_j[:, None, :],
+                          x_c[:, None, :]),
+            )
+            cand_d = jnp.where(ohb[None], mx[:, :, None], dm)
+            d_c = (cand_d * own32[None]).sum(axis=1)
+            # multi-alpha fixup on x and d, vectorised: fire tb lanes
+            # are distinct and fixmem sets are group-disjoint, and only
+            # one fire block's fixmem can contain the row alpha, so the
+            # sequential cascade closes after one correction (blocks
+            # ordered after it read the already-adjusted alpha lane)
+            M = jnp.stack([d_c, x_c])                       # [2, B, P]
+            M_tb = (M[:, :, None, :] * oh[None, None]).sum(-1)   # [2, B, MB]
+            M_ai = jax.lax.dynamic_slice(M, (0, 0, ai), (2, B, 1))[:, :, 0]
+            va0 = M_tb - M_ai[:, :, None]                   # [2, B, MB]
+            va_adj = (va0 * isa32[None, None]).sum(-1)      # [2, B]
+            va = (va0 - after32[None, None] * va_adj[..., None]) * (
+                fire32[None, None]
+            )
+            adds = (va[:, :, :, None] * fixmem32[None, None]).sum(2)
+            hotv = (va[:, :, :, None] * oh[None, None]).sum(2)   # [2, B, P]
+            M = jnp.where(hotl[None, None, :], hotv, M + adds)
+            d_c, x_c = M[0], M[1]
             return (x_c, d_c), (x_c, d_c)
 
         (xf, df), (xs_, ds) = jax.lax.scan(col, (x0, x0), (U, Dc, Dfd, Ypre))
@@ -594,11 +642,11 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         prevD, prevY, prevX0, ringD, ringY, ringX0 = carry
         (i, easy_i, pr_i, eap_i, edelta_i, emask_i, fap_i, fcap_i, fmask_i,
          valid, pred, ap, tb, delta, case1, maskb, maskq, first, fixmem,
-         eslot_i, bslot_i, wslot_i) = xs
+         eslot_i, bslot_i, wslot_i, own_i, fire_i, isa_i, after_i) = xs
         ai = alphas[i]
         ns = node_start[i]
         hard_ops = (valid, pred, ap, tb, delta, case1, maskb, maskq, first,
-                    fixmem)
+                    fixmem, own_i, fire_i, isa_i, after_i)
         # All carry reads are hoisted out of the lax.cond branches (a
         # cond whose branches capture an in-place-updated carry forces
         # XLA to copy it at the branch boundary every row).  Node-start
@@ -672,7 +720,8 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
     xs = (rows, easy[sl], pr[sl], eap[sl], edelta[sl], emask[sl], fap[sl],
           fcommon_ap[sl], fmask[sl], bvalid[sl], bpred[sl], bap[sl], btb[sl],
           bdelta[sl], bcase1[sl], bmask[sl], bmaskq[sl], bfirst[sl],
-          bfixmem[sl], eslot[sl], bslot[sl], wslot[sl])
+          bfixmem[sl], eslot[sl], bslot[sl], wslot[sl], bown[sl], bfire[sl],
+          bisa[sl], bafter[sl])
     carry0 = (row0, row0, jnp.zeros((B, P), jnp.int32),
               ringD0, ringY0, ringX00)
     _, (Ys, Xs, Ds) = jax.lax.scan(step, carry0, xs)
@@ -699,6 +748,7 @@ def fill_gap_device(g: PathGraph, sm: ScoreMatrix, seq, o: int, e: int,
             meta.fcommon_ap, meta.fmask, meta.bvalid, meta.bpred, meta.bap,
             meta.btb, meta.bdelta, meta.bcase1, meta.bmask, meta.bmaskq,
             meta.bfirst, meta.bfixmem, meta.eslot, meta.bslot, meta.wslot,
+            meta.bown, meta.bfire, meta.bisa, meta.bafter,
         )
     )
     # gate for the packed column|value chain in easy_row: plane
