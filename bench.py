@@ -257,7 +257,9 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
         from recgraph_tpu.ops import pathwise_gap_engine
 
         meta6 = pathwise_gap_engine.gap_meta(pg)
-        B6 = 32
+        B6 = 64  # matches the production TPU chunk (6 GiB planes budget);
+        # the hard-row column scans are batch-independent latency, so
+        # wide fills are where the engine actually runs
         seq6, _ = encode_reads(reads[:B6], pad_to=pathwise_engine._align_lp(reads[:B6]))
         cells6 = 3 * B6 * pdg.n * seq6.shape[1] * P  # three planes
 

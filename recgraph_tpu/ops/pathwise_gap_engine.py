@@ -937,7 +937,7 @@ def _endings_gap_semi(finalcol_b, g: PathGraph) -> tuple[int, int]:
 
 
 def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
-              o: int, e: int, chunk_bytes=2 << 30) -> list[tuple[int, str]]:
+              o: int, e: int, chunk_bytes=None) -> list[tuple[int, str]]:
     """Modes 6/7 on device: returns [(best_path, printed line), ...]
     matching oracle exec_gap_global / exec_gap_semiglobal exactly.
 
@@ -953,11 +953,16 @@ def run_batch(mode: int, sequences, g: PathGraph, sm: ScoreMatrix,
     out: list[tuple[int, str]] = []
     Lp_all = _align_lp(sequences)
     per_read = 3 * n * P * Lp_all * 4
-    # 2 GiB default: the planes are scan OUTPUTS (written once), so the
-    # only cost of a bigger chunk is HBM; the hard-row column scans are
-    # batch-independent latency, so wide chunks amortise them.  512 cap:
-    # the XLA scan carry stops updating in place at large batches
-    # (CLAUDE.md "Known upstream issues").
+    # Wide default on TPU (6 GiB of 16 GiB HBM): the planes are scan
+    # OUTPUTS (written once), so the only cost of a bigger chunk is
+    # memory, and the hard-row column scans are batch-independent
+    # latency that wide chunks amortise.  2 GiB on CPU (host RAM /
+    # cache pressure).  512 cap: the XLA scan carry stops updating in
+    # place at large batches (CLAUDE.md "Known upstream issues").
+    if chunk_bytes is None:
+        chunk_bytes = (
+            6 << 30 if jax.default_backend() == "tpu" else 2 << 30
+        )
     chunk = max(1, min(512, int(chunk_bytes // per_read)))
     alphas_j = jnp.asarray(meta.alphas)
     node_start_j = jnp.asarray(meta.node_start)
