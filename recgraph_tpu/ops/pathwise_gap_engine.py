@@ -627,7 +627,9 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
             d_c, x_c = M[0], M[1]
             return (x_c, d_c), (x_c, d_c)
 
-        (xf, df), (xs_, ds) = jax.lax.scan(col, (x0, x0), (U, Dc, Dfd, Ypre))
+        (xf, df), (xs_, ds) = jax.lax.scan(
+            col, (x0, x0), (U, Dc, Dfd, Ypre), unroll=4
+        )
         # assemble rows: col 0 = (0, x0, x0), cols 1.. from the scan
         Yrow = y_fix.at[:, :, 0].set(0)
         Xrow = jnp.concatenate(
