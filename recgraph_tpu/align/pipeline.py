@@ -412,13 +412,16 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
         )
         results = None
         if opts.engine == "jax":
-            try:
-                from ..ops import pathwise_gap_engine
+            from ..ops import pathwise_gap_engine
 
+            try:
                 results = pathwise_gap_engine.run_batch(
                     mode, sequences, g, sm, o, e
                 )
-            except ValueError as exc:  # graphs the reference also rejects
+            except pathwise_gap_engine.RejectedGraph as exc:
+                # ONLY graphs the reference itself rejects route to the
+                # oracle (which raises the same way); genuine engine
+                # errors propagate (VERDICT r3 weak #3)
                 from ..metrics import count_fallback
 
                 count_fallback("oracle_gap_67")

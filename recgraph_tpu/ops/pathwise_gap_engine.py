@@ -63,6 +63,13 @@ from ..scoring import ScoreMatrix
 # ---------------------------------------------------------------------------
 
 
+class RejectedGraph(ValueError):
+    """The reference itself rejects this graph (a predecessor block
+    sharing no path with its node panics in pathwise_alignment_gap.rs's
+    common-paths indexing).  Callers may fall back to the scalar oracle
+    for EXACTLY this case; any other engine error must propagate."""
+
+
 @dataclass
 class GapMeta:
     """Per-row static metadata for the device fill (all numpy)."""
@@ -114,9 +121,10 @@ class GapMeta:
 def gap_meta(g: PathGraph) -> GapMeta:
     """Row classification + padded block metadata (see module docstring).
 
-    Raises ``ValueError`` for graphs the reference itself rejects
-    (a predecessor block sharing no path with the node) so callers can
-    fall back to the scalar oracle, which raises the same way.
+    Raises :class:`RejectedGraph` for graphs the reference itself
+    rejects (a predecessor block sharing no path with the node) so
+    callers can fall back to the scalar oracle, which raises the same
+    way.  Real engine bugs raise other exception types and propagate.
     """
     n, P = g.n, g.paths_number
     pn = g.paths_nodes
@@ -174,7 +182,7 @@ def gap_meta(g: PathGraph) -> GapMeta:
         for s, (p, p_paths) in enumerate(blocks):
             common = pn[i] & p_paths
             if not common.any():
-                raise ValueError(f"empty common-paths set at row {i}")
+                raise RejectedGraph(f"empty common-paths set at row {i}")
             ap = int(alphas[p])
             case1 = ap < P and bool(common[ap])
             if case1:

