@@ -310,7 +310,8 @@ def run_batch(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
 
 @functools.partial(jax.jit, static_argnames=("global_mode", "max_steps"))
 def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
-                   ending_node, global_mode, max_steps, start_j=None):
+                   ending_node, global_mode, max_steps, start_j=None,
+                   ws=None):
     """Batched traceback over dense best-path planes.
 
     plane: int32[B, n, Lp] absolute scores on the chosen path;
@@ -319,6 +320,13 @@ def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
     reference's predecessor=None fallback, pathwise_alignment_output.rs:31-47).
     Emits one step per iteration: main d/u/l recompute walk, then the
     trailing-L and (global) leading-U tails.
+
+    ws (optional, int32[B, n]): per-row window starts for windowed
+    planes (pathwise_window._fill_pathwise_win) — plane is then
+    [B, n, W] and column j reads plane[b, i, j - ws[b, i]], NEG outside
+    the window.  Sound whenever the windowed exit-bound guard passed:
+    every cell on (or tied into) an optimal alignment is in-window and
+    exact, so the recompute never needs an out-of-window value.
     """
     from ..scoring import GAP
 
@@ -327,7 +335,14 @@ def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
     bidx = jnp.arange(B)
 
     def at(i, j):
-        return jnp.take_along_axis(pf, (i * Lp + j)[:, None], axis=1)[:, 0]
+        if ws is None:
+            return jnp.take_along_axis(pf, (i * Lp + j)[:, None], axis=1)[:, 0]
+        base = jnp.take_along_axis(ws, i[:, None], axis=1)[:, 0]
+        rel = j - base
+        v = jnp.take_along_axis(
+            pf, (i * Lp + jnp.clip(rel, 0, Lp - 1))[:, None], axis=1
+        )[:, 0]
+        return jnp.where((rel >= 0) & (rel < Lp), v, NEG)
 
     def body(_, st):
         i, j, k, done, dirs, rows = st
@@ -413,18 +428,42 @@ def _record_from_walk(dirs, rows, n_steps, stop_i, g, bp, ending_node, score):
     return handle_dedup, path_len, path_start, path_end, comments
 
 
+LONG_READ_LP = 1024   # mode-4 reads at least this long use windowed rows
+_pw_w_hint: dict[int, int] = {}
+
+
 def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
-    """Modes 4/5 with on-device traceback (planes never leave the device)."""
+    """Modes 4/5 with on-device traceback (planes never leave the device).
+
+    Mode-4 batches with long reads route through the windowed O(W)-lane
+    engine (ops/pathwise_window) — beat-the-reference capability: the
+    reference is full-width here (pathwise_alignment.rs:16, O(n*L*P)
+    memory).  Mode 5 has no windowed variant by design (a semiglobal
+    alignment may start at column 0 of any row, which makes the exit
+    bound vacuous — see pathwise_window._fill_pathwise_win).
+    """
     from ..graph.pathgraph import pathwise_meta
 
     dg = path_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
     semiglobal = mode == 5
-    n, P = dg.n, dg.paths_number
     rep_of, pred_of = pathwise_meta(g)
     pred_of_full = jnp.asarray(pred_of)                    # [n, P]
-    records = []
     Lp_all = _align_lp(sequences)
+    if not semiglobal and Lp_all >= LONG_READ_LP:
+        return _run_batch_walks_win(
+            sequences, g, dg, table, sm, pred_of_full, chunk_bytes
+        )
+    return _run_batch_walks_full(
+        sequences, g, dg, table, sm, semiglobal, pred_of_full, Lp_all,
+        chunk_bytes,
+    )
+
+
+def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
+                          pred_of_full, Lp_all, chunk_bytes) -> list[GafRecord]:
+    n, P = dg.n, dg.paths_number
+    records = []
     per_read = P * n * Lp_all * 4
     chunk = max(1, int(chunk_bytes // per_read))
     W = n + Lp_all + 4
@@ -486,3 +525,130 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
                 )
             )
     return records
+
+
+def _gaf_from_walk(dirs_b, rows_b, steps_b, stop_b, g, bp, node, score, s):
+    handle_dedup, path_len, path_start, path_end, comments = _record_from_walk(
+        dirs_b, rows_b, steps_b, stop_b, g, bp, node, score
+    )
+    return GafRecord(
+        query_name="Temp",
+        query_length=len(s) - 1,
+        query_start=0,
+        query_end=len(s) - 2,
+        strand="+",
+        path=handle_dedup,
+        path_length=path_len,
+        path_start=path_start,
+        path_end=path_end,
+        residue_matches_number=0,
+        alignment_block_length="*",
+        mapping_quality="*",
+        comments=comments,
+    )
+
+
+def _run_batch_walks_win(sequences, g, dg, table, sm, pred_of_full,
+                         chunk_bytes) -> list[GafRecord]:
+    """Mode-4 long reads: windowed O(W)-lane fill with a W ladder.
+
+    Per chunk, fills at width W (starting from the last width that
+    worked for this graph), accepts every read whose windowed best
+    final STRICTLY beats the exit bound (the guard of
+    pathwise_window._fill_pathwise_win — all cells an optimal traceback
+    can visit or tie into are then exact), and doubles W for the rest.
+    Reads still failing at W >= Lp rerun through the exact full-width
+    engine (visible: stderr line + pathwise_win_fullwidth counter).
+    Memory per read is O(n*P*W) instead of the reference's O(n*P*L)
+    (pathwise_alignment.rs:16).
+    """
+    import sys
+
+    from ..watchdog import progress as _wd_progress
+    from .pathwise_window import _fill_pathwise_win, _final_column_win, _rmin
+
+    n, P = dg.n, dg.paths_number
+    rmin = jnp.asarray(_rmin(dg))
+    node_start = jnp.asarray(g.node_start)
+    Lp_all = _align_lp(sequences)
+    W0 = _pw_w_hint.get(dg.n, 256)
+    if W0 >= Lp_all:   # stale hint from a longer-read batch
+        W0 = 256
+    # chunk on the expected ladder width; doubling reruns only the
+    # guard failures, normally a small sub-batch
+    per_read = P * n * min(2 * W0, Lp_all) * 4
+    chunk = max(1, int(chunk_bytes // per_read))
+    max_steps = n + Lp_all + 4
+    out: dict[int, GafRecord] = {}
+    fullwidth_idx: list[int] = []
+    for c0 in range(0, len(sequences), chunk):
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
+        idxs = list(range(c0, min(c0 + chunk, len(sequences))))
+        W = W0
+        while idxs and W < Lp_all:
+            sub = [sequences[i] for i in idxs]
+            seq, L = encode_reads(sub, pad_to=Lp_all)
+            Aw, ws, bound = _fill_pathwise_win(dg, table, seq, L, W, rmin)
+            finalcol = np.asarray(jax.device_get(_final_column_win(Aw, ws, L)))
+            boundh = np.asarray(jax.device_get(bound))
+            bps, nodes, scores, passed = [], [], [], []
+            for b in range(len(sub)):
+                bp, node = _endings_global(finalcol[b], g)
+                bps.append(bp)
+                nodes.append(node)
+                scores.append(int(finalcol[b, bp, node]))
+                passed.append(scores[-1] > int(boundh[b]))
+            if any(passed):
+                bps_j = encode_read_aux(bps)
+                planes = _extract_plane(Aw, bps_j)         # [B, n, W]
+                del Aw
+                pred_of_bp = jnp.take_along_axis(
+                    jnp.broadcast_to(
+                        pred_of_full.T[None], (seq.shape[0], P, n)
+                    ),
+                    bps_j[:, None, None], axis=1,
+                )[:, 0]
+                dirs, rows, steps, stop_i = _walk_pathwise(
+                    planes, seq, L, table, node_start, dg.codes,
+                    pred_of_bp, encode_read_aux(nodes),
+                    global_mode=True, max_steps=max_steps, ws=ws,
+                )
+                del planes
+                kmax = min(
+                    max_steps,
+                    (int(jax.device_get(steps.max())) + 255) // 256 * 256,
+                )
+                dirs, rows, steps, stop_i = jax.device_get(
+                    (dirs[:, :kmax], rows[:, :kmax], steps, stop_i)
+                )
+                for b, i_orig in enumerate(idxs):
+                    if passed[b]:
+                        out[i_orig] = _gaf_from_walk(
+                            dirs[b], rows[b], int(steps[b]), int(stop_i[b]),
+                            g, bps[b], nodes[b], scores[b], sub[b],
+                        )
+            else:
+                del Aw
+            idxs = [i for b, i in enumerate(idxs) if not passed[b]]
+            if not idxs:
+                _pw_w_hint[dg.n] = W
+            W *= 2
+        fullwidth_idx.extend(idxs)
+    if fullwidth_idx:
+        from ..metrics import count_fallback
+
+        for _ in fullwidth_idx:
+            count_fallback("pathwise_win_fullwidth")
+        print(
+            f"recgraph: {len(fullwidth_idx)} long read(s) exceeded the "
+            "windowed exit bound at every W; running full-width",
+            file=sys.stderr,
+        )
+        sub = [sequences[i] for i in fullwidth_idx]
+        recs = _run_batch_walks_full(
+            sub, g, dg, table, sm, False, pred_of_full, _align_lp(sub),
+            chunk_bytes,
+        )
+        for i, rec in zip(fullwidth_idx, recs):
+            out[i] = rec
+    return [out[i] for i in range(len(sequences))]

@@ -16,7 +16,13 @@ pathwise"):
 * Out-of-window predecessor reads are NEG, and the recurrence is
   monotone, so windowed rep-lane values LOWER-bound the full-width
   ones, and any in-window value is exact unless its best path left the
-  window somewhere.
+  window somewhere.  (Downstream of a follower replay flip — see the
+  caveat below — the lower bound can be violated on any lane the
+  flipped value feeds, including rep lanes; every windowed value does
+  stay bounded by its lane's plain-DP best, every move being legal, so
+  the R accounting below stays conservative.  The single-path-graph
+  test isolates the flip-free arithmetic, where the bound is exact:
+  tests/test_pathwise_window.py.)
 * The fill accumulates a sound exit bound R: every cell a successor
   row's shifted window strands (plus each row's right-edge cell, which
   can exit via an in-row L move) contributes ``value - Smax * column``
@@ -75,7 +81,16 @@ def _rmin(dg) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("W",))
 def _fill_pathwise_win(dg, table, seq, L, W, rmin=None):
-    """Windowed mode-4 fill.
+    """Windowed mode-4 (global) fill.
+
+    Mode 5 (semiglobal) deliberately has NO windowed variant: a
+    semiglobal alignment may start at column 0 of ANY row, so an
+    alignment starting left of a row's window never crosses the exit
+    frontier the bound accounts for, and the only sound ceiling for
+    such starts is smax*(L-1) — the perfect-score ceiling — which makes
+    the guard vacuous.  This mirrors the reference, whose adaptive band
+    also exists only for the global modes (utils.rs:17-72 used by
+    global_abpoa/gap_global_abpoa, never local/semi).
 
     seq: int32[B, Lp] ('$'-prefixed); L int32[B]; W static window width
     (multiple of 8).  Returns:
@@ -182,10 +197,13 @@ def _fill_pathwise_win(dg, table, seq, L, W, rmin=None):
         vU = Aq_al + gap_i
         V = jnp.where(dirD, vD, vU)
         V = jnp.where(at0, Aq_al + gap_i, V)
-        enc = jnp.where(
-            nonL, (kcol[None, None, :] << 17) | (V - Gw[:, None, :] + OFF),
-            -1,
-        )
+        # clamp to the packing floor: out-of-window NEG values would
+        # otherwise overflow the 17-bit field and decode as GARBAGE
+        # (overestimates).  Gw - OFF is far below any true score under
+        # the caller's fits gate (2*Lp*smax < 2^16), so the clamped
+        # cell stays a sound lower bound.
+        Vc = jnp.maximum(V - Gw[:, None, :], -OFF)
+        enc = jnp.where(nonL, (kcol[None, None, :] << 17) | (Vc + OFF), -1)
         enc = cummax_last(enc)
         row = Gw[:, None, :] + (enc & ((1 << 17) - 1)) - OFF
         row = jnp.where(on[None, :, None], row, 0)
