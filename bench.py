@@ -75,6 +75,217 @@ def slope_time(make_fn, iters=3, k_hi=4):
     return max((t[k_hi] - t[1]) / (k_hi - 1), 1e-9)
 
 
+def _longread_corpus(n_back=1200, n_reads=64, seed=11):
+    """Deterministic multi-kb corpus: full-span haplotype reads
+    (~2.4 kb, 2% mutations) on a ~3.8k-row synthetic pangenome
+    (BASELINE configs[4] scale; cached under /tmp)."""
+    import random
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from make_synthetic import make
+
+    d = f"/tmp/recgraph_longread_{n_back}_{seed}"
+    gfa_path = os.path.join(d, "graph.gfa")
+    if not os.path.exists(gfa_path):
+        make(d, n_back=n_back, n_reads=1, seed=seed)
+    rng = random.Random(seed)
+    walks, segs = {}, {}
+    for ln in open(gfa_path):
+        f = ln.rstrip("\n").split("\t")
+        if f[0] == "P":
+            walks[f[1]] = [int(x[:-1]) for x in f[2].split(",")]
+        elif f[0] == "S":
+            segs[int(f[1])] = f[2]
+    keys = sorted(walks)
+    reads = []
+    for _ in range(n_reads):
+        w = walks[rng.choice(keys)]
+        s = "".join(segs[x] for x in w)
+        reads.append(
+            "$" + "".join(
+                (rng.choice("ACGT") if rng.random() < 0.02 else c) for c in s
+            )
+        )
+    return gfa_path, reads
+
+
+def longread_bench(line, iters, base_scalar):
+    """Windowed long-read kernels (modes 0/2/4) on the multi-kb corpus.
+
+    Modes 0/2: banded-cell accounting vs the reference's banded CPU
+    loops on the same reads (here the band actually bites: ~2-4% of the
+    full matrix, unlike the short-read corpus's 89%).  Mode 4: the
+    reference is FULL-width (pathwise_alignment.rs:16), so the line
+    reports full-equivalent device throughput against the scalar CPU
+    baseline — the windowed fill computes O(W) of each row but solves
+    the same task exactly (guard-checked).
+    """
+    from recgraph_tpu import native
+    from recgraph_tpu.graph.pathgraph import PathGraph
+    from recgraph_tpu.graph.poagraph import PoaGraph
+    from recgraph_tpu.io import gfa
+    from recgraph_tpu.ops import (
+        pallas_gap_global_win,
+        pallas_poa,
+        pallas_poa_global_win,
+        pathwise_engine,
+        poa_engine,
+        poa_gap_engine,
+    )
+    from recgraph_tpu.ops.encode import (
+        encode_reads,
+        path_device_graph,
+        poa_device_graph,
+    )
+    from recgraph_tpu.ops.pathwise_window import (
+        _fill_pathwise_win,
+        _final_column_win,
+        _rmin,
+    )
+    from recgraph_tpu.scoring import ScoreMatrix
+    import numpy as np
+
+    gfa_path, reads = _longread_corpus()
+    B = len(reads)
+    parsed = gfa.parse_gfa(gfa_path)
+    g = PoaGraph.from_gfa(parsed)
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    seq, L = encode_reads(reads)
+    Lp = seq.shape[1]
+    cells_full = B * (dg.n - 1) * Lp
+    btas_h = [int(1 + 0.01 * len(s)) for s in reads]
+    bta = jnp.asarray(btas_h, jnp.int32)
+    span = pallas_poa.max_pred_span(g)
+    print(
+        f"# longread corpus: n={dg.n} Lp={Lp} B={B} span={span}",
+        file=sys.stderr,
+    )
+
+    band0 = native.baseline_banded_cpu(g, sm, reads, btas_h, repeats=1)
+    band2 = native.baseline_banded_cpu(
+        g, sm, reads, btas_h, repeats=1, gap=(-4, -2)
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    # ---- mode 0 windowed: settle the W ladder, time the settled fill
+    W0 = 0
+    if on_tpu:
+        poa_engine.fill_global_long(dg, table, seq, L, bta, max(btas_h), g)
+        W0 = poa_engine._long_w_hint.get(dg.n, 0)
+    if on_tpu and 0 < W0 < Lp:
+        def chained0(k):
+            @jax.jit
+            def fn(seq, L):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    out = pallas_poa_global_win.fill_global_win(
+                        dg, table, s, L, bta, W0, span
+                    )
+                    tot = tot + jnp.sum(out[0]) + out[3].reshape(-1)[12345]
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq, L))
+
+        dt = slope_time(chained0, iters)
+        bcells = band0[1]
+        line(
+            "global_poa_longread_throughput", bcells / dt / 1e9,
+            bcells / band0[0] / 1e9,
+            f"mode0 longread B={B} W={W0} per-fill={dt*1e3:.1f}ms "
+            f"banded-cell basis (band={bcells/cells_full:.1%} of full; "
+            f"full-equiv {cells_full/dt/1e9:.2f} Gcells/s); "
+            f"CPU banded fill {band0[0]*1e3:.0f}ms",
+        )
+    else:
+        print(f"# mode0 longread: ladder fell to full width (W0={W0})",
+              file=sys.stderr)
+
+    # ---- mode 2 windowed (affine)
+    W2 = 0
+    if on_tpu:
+        poa_gap_engine.fill_gap_global_long(
+            dg, table, seq, L, bta, max(btas_h), -4, -2, g
+        )
+        W2 = poa_gap_engine._long_w_hint_gap.get(dg.n, 0)
+    if on_tpu and 0 < W2 < Lp:
+        def chained2(k):
+            @jax.jit
+            def fn(seq, L):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    out = pallas_gap_global_win.fill_gap_global_win(
+                        dg, table, s, L, bta, -4, -2, W2, span
+                    )
+                    tot = tot + jnp.sum(out[0]) + out[3].reshape(-1)[12345]
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq, L))
+
+        dt = slope_time(chained2, iters)
+        bcells = band2[1]
+        line(
+            "gap_global_longread_throughput", bcells / dt / 1e9,
+            bcells / band2[0] / 1e9,
+            f"mode2 longread B={B} W={W2} per-fill={dt*1e3:.1f}ms "
+            f"banded-cell basis (full-equiv {cells_full/dt/1e9:.2f}); "
+            f"CPU banded fill {band2[0]*1e3:.0f}ms",
+        )
+    else:
+        print(f"# mode2 longread: ladder fell to full width (W2={W2})",
+              file=sys.stderr)
+
+    # ---- mode 4 windowed (pathwise long reads — reference is full-width)
+    pg = PathGraph.from_gfa(parsed, is_reversed=False)
+    pdg = path_device_graph(pg)
+    B4 = 32
+    seq4, L4 = encode_reads(
+        reads[:B4], pad_to=pathwise_engine._align_lp(reads[:B4])
+    )
+    rmin = jnp.asarray(_rmin(pdg))
+    W4 = 256
+    Aw, ws, bound = _fill_pathwise_win(pdg, table, seq4, L4, W4, rmin)
+    fc = np.asarray(jax.device_get(_final_column_win(Aw, ws, L4)))
+    bh = np.asarray(jax.device_get(bound))
+    npass = sum(
+        int(fc[b, pathwise_engine._endings_global(fc[b], pg)[0],
+               pathwise_engine._endings_global(fc[b], pg)[1]]) > int(bh[b])
+        for b in range(B4)
+    )
+    del Aw
+    P = pdg.paths_number
+    cells4_full = B4 * pdg.n * seq4.shape[1] * P
+
+    def chained4(k):
+        @jax.jit
+        def fn(seq):
+            tot = jnp.int32(0)
+            s = seq
+            for _ in range(k):
+                Aw, ws, bound = _fill_pathwise_win(
+                    pdg, table, s, L4, W4, rmin
+                )
+                tot = tot + Aw.reshape(-1)[123] + jnp.sum(bound)
+                s = jnp.roll(seq, tot & 3, axis=0)
+            return tot
+
+        return lambda: int(fn(seq4))
+
+    dt = slope_time(chained4, iters)
+    line(
+        "pathwise_longread_throughput", cells4_full / dt / 1e9, base_scalar,
+        f"mode4 longread B={B4} P={P} W={W4} per-fill={dt*1e3:.1f}ms "
+        f"guard-pass {npass}/{B4}; full-equivalent cells (the reference "
+        f"is full-width here)",
+    )
+
+
 def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
     from recgraph_tpu.graph.pathgraph import PathGraph, nodes_displacement_matrix
     from recgraph_tpu.graph.poagraph import PoaGraph
@@ -376,6 +587,12 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
         )
     except Exception as e:
         print(f"# mode8 bench failed: {e}", file=sys.stderr)
+
+    # ---- long reads: windowed kernels (modes 0/2/4) ----
+    try:
+        longread_bench(line, iters, base_scalar)
+    except Exception as e:
+        print(f"# longread bench failed: {e}", file=sys.stderr)
 
     line(*headline)
 

@@ -70,7 +70,13 @@ def _cumsum_lanes(x, jcol, Lp):
 
 
 def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
-                 ringc: int):
+                 ringc: int, strip: frozenset = frozenset()):
+    """strip: TIMING-ONLY ablations (results wrong) — 'chain' (skip the
+    (max,+) prefix solve), 'band' (fixed full band, no pred-bsp math),
+    'sweep' (skip the start-row pred sweep), 'edges' (skip the
+    left-edge/base lane extractions), 'dirs' (skip direction packing).
+    Used by tools/ablate_global2.py to locate the kernel's floor
+    (the v4/v5 strip-ablation playbook, PERF.md)."""
     num_sinks = len(sink_rows)
     rdt = jnp.int16 if ring16 else jnp.int32
 
@@ -136,26 +142,32 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             # bsp[i-1]; start rows sweep all preds ([Bt, 1] selects —
             # near-free, so the sweep runs unconditionally masked)
             is_start = (is_start_ref[ii] != 0) & (i > 0) & live
-            pb_prev = jnp.transpose(bsp_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
-            ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
-            me_s = jnp.full((Bt, 1), NEG, jnp.int32)
-            for p in range(Pm):
-                pidx = pred_idx_ref[ii * Pm + p]
-                ok = (pidx >= 0) & is_start
-                pb = jnp.transpose(bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :])
-                ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
-                me_s = jnp.where(ok & (pb > me_s), pb, me_s)
-            ms = jnp.where(is_start, ms_s, pb_prev) + 1
-            me = jnp.where(is_start, me_s, pb_prev) + 1
-            ms = jnp.where(i == 0, 0, ms)
-            me = jnp.where(i == 0, 0, me)
-            r_i = r_ref[ii]
-            left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
-            right = jnp.where(
-                L > r_i,
-                jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
-                jnp.minimum(L, me + bta),
-            )
+            if "band" in strip:   # timing-only: fixed full band
+                left = jnp.zeros((Bt, 1), jnp.int32)
+                right = L
+            else:
+                pb_prev = jnp.transpose(
+                    bsp_s[pl.ds(jnp.maximum(i - 1, 0), 1), :]
+                )
+                ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
+                me_s = jnp.full((Bt, 1), NEG, jnp.int32)
+                for p in range(Pm):
+                    pidx = pred_idx_ref[ii * Pm + p]
+                    ok = (pidx >= 0) & is_start
+                    pb = jnp.transpose(bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :])
+                    ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
+                    me_s = jnp.where(ok & (pb > me_s), pb, me_s)
+                ms = jnp.where(is_start, ms_s, pb_prev) + 1
+                me = jnp.where(is_start, me_s, pb_prev) + 1
+                ms = jnp.where(i == 0, 0, ms)
+                me = jnp.where(i == 0, 0, me)
+                r_i = r_ref[ii]
+                left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
+                right = jnp.where(
+                    L > r_i,
+                    jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
+                    jnp.minimum(L, me + bta),
+                )
             in_band = (left <= jcol) & (jcol < right)
 
             code_i = codes_ref[ii]
@@ -179,7 +191,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
                 prow = ring[jnp.maximum(rank, 0) % ringc].astype(jnp.int32)
                 return jnp.where(pidx == 0, row0_s[:, :], prow)
 
-            @pl.when(is_start)
+            @pl.when(is_start & ("sweep" not in strip))
             def _():
                 # full first-best predecessor sweep (ascending order,
                 # global_abpoa.rs:486-566), staged through sweep_s
@@ -228,30 +240,38 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
 
             # ---- chain restart values ----
             A = jnp.maximum(d_val, u_val)
-            gseq_left = lane_at(gseq, left)
-            l_fb = gseq_left * (i + left)
-            # min_pred is a node end for start rows (ring) and i-1 for
-            # non-start rows (prev_s — not a ring slot in compact form)
-            minp_row = jnp.where(
-                is_start,
-                pred_row(minp, minp_rank_ref[ii]),
-                jnp.where(minp == 0, row0_s[:, :], prev_s[:, :]),
-            )
-            lefts_minp = jnp.transpose(lefts_s[pl.ds(minp, 1), :])
-            base0 = lane_at(minp_row, lefts_minp) + gnode_i
-            is_left = jcol == left
-            A_left = jnp.where(
-                left == 0, base0, jnp.maximum(lane_at(A, left), l_fb)
-            )
-            A = jnp.where(is_left, A_left, A)
-            A = jnp.where(in_band, A, NEGc)
+            if "edges" in strip:   # timing-only: skip edge extractions
+                is_left = jcol == left
+                l_fb = gnode_i * (i + left)
+                A = jnp.where(in_band, A, NEGc)
+            else:
+                gseq_left = lane_at(gseq, left)
+                l_fb = gseq_left * (i + left)
+                # min_pred is a node end for start rows (ring) and i-1
+                # for non-start rows (prev_s — not a ring slot in
+                # compact form)
+                minp_row = jnp.where(
+                    is_start,
+                    pred_row(minp, minp_rank_ref[ii]),
+                    jnp.where(minp == 0, row0_s[:, :], prev_s[:, :]),
+                )
+                lefts_minp = jnp.transpose(lefts_s[pl.ds(minp, 1), :])
+                base0 = lane_at(minp_row, lefts_minp) + gnode_i
+                is_left = jcol == left
+                A_left = jnp.where(
+                    left == 0, base0, jnp.maximum(lane_at(A, left), l_fb)
+                )
+                A = jnp.where(is_left, A_left, A)
+                A = jnp.where(in_band, A, NEGc)
 
             Grow = jnp.where(i == 0, G_s[1], G)
             A0row = jnp.where(in_band, Grow, NEGc)
             A0row = jnp.where(jcol == 0, 0, A0row)
-            m_row = jnp.where(
-                i == 0, A0row, Grow + _chain_radix(A - Grow, jcol, Lpo)
+            chained = (
+                A - Grow if "chain" in strip
+                else _chain_radix(A - Grow, jcol, Lpo)
             )
+            m_row = jnp.where(i == 0, A0row, Grow + chained)
             m_row = jnp.where(in_band, m_row, NEGc)
             m_row = jnp.where((i == 0) & (jcol == 0), 0, m_row)
 
@@ -263,35 +283,41 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             )
 
             # ---- directions (utils.rs:129-140, D >= U >= L) ----
-            m_prev = pltpu.roll(m_row, 1, 1)
-            m_prev = jnp.where(jcol == 0, NEGc, m_prev)
-            l_val = m_prev + gseq
-            l_val = jnp.where(
-                is_left, jnp.where(left == 0, NEGc, l_fb), l_val
-            )
-            l_pred = jnp.where(jcol > left, i, minp)
-            d_ge_u = d_val >= u_val
-            dirD = d_ge_u & (d_val >= l_val)
-            dirU = (~d_ge_u) & (u_val >= l_val)
-            dcode = jnp.where(
-                dirD, jnp.where(match, D, LOW_D), jnp.where(dirU, U_DIR, L_DIR)
-            )
-            pred_sel = jnp.where(dirD, d_pred, jnp.where(dirU, u_pred, l_pred))
-            is_base = is_left & (left == 0)
-            dcode = jnp.where(is_base, U_DIR, dcode)
-            pred_sel = jnp.where(is_base, minp, pred_sel)
-            dcode = jnp.where(
-                i == 0, jnp.where(jcol == 0, O, L_DIR), dcode
-            )
-            pred_sel = jnp.where(i == 0, 0, pred_sel)
-            pk = jnp.where(in_band, pred_sel * 16 + dcode, 0)
-            pk = jnp.where(i == 0, jnp.where(
-                in_band & (jcol > 0), jnp.int32(L_DIR), jnp.int32(O)
-            ), pk)
-            pk = jnp.where(jcol == Lb, left, pk)      # caller reads the
-            pk = jnp.where(jcol == Lb + 1, right, pk)  # bounds at Lp/Lp+1
-            pk = jnp.where(live, pk, 0)
-            packed_ref[r] = pk
+            if "dirs" in strip:   # timing-only: skip direction packing
+                packed_ref[r] = m_row
+            else:
+                m_prev = pltpu.roll(m_row, 1, 1)
+                m_prev = jnp.where(jcol == 0, NEGc, m_prev)
+                l_val = m_prev + gseq
+                l_val = jnp.where(
+                    is_left, jnp.where(left == 0, NEGc, l_fb), l_val
+                )
+                l_pred = jnp.where(jcol > left, i, minp)
+                d_ge_u = d_val >= u_val
+                dirD = d_ge_u & (d_val >= l_val)
+                dirU = (~d_ge_u) & (u_val >= l_val)
+                dcode = jnp.where(
+                    dirD, jnp.where(match, D, LOW_D),
+                    jnp.where(dirU, U_DIR, L_DIR)
+                )
+                pred_sel = jnp.where(
+                    dirD, d_pred, jnp.where(dirU, u_pred, l_pred)
+                )
+                is_base = is_left & (left == 0)
+                dcode = jnp.where(is_base, U_DIR, dcode)
+                pred_sel = jnp.where(is_base, minp, pred_sel)
+                dcode = jnp.where(
+                    i == 0, jnp.where(jcol == 0, O, L_DIR), dcode
+                )
+                pred_sel = jnp.where(i == 0, 0, pred_sel)
+                pk = jnp.where(in_band, pred_sel * 16 + dcode, 0)
+                pk = jnp.where(i == 0, jnp.where(
+                    in_band & (jcol > 0), jnp.int32(L_DIR), jnp.int32(O)
+                ), pk)
+                pk = jnp.where(jcol == Lb, left, pk)      # caller reads
+                pk = jnp.where(jcol == Lb + 1, right, pk)  # bounds Lp/Lp+1
+                pk = jnp.where(live, pk, 0)
+                packed_ref[r] = pk
 
             m_store = jnp.where(live, m_row, NEGc)
             er = erank_ref[ii]
@@ -363,7 +389,7 @@ def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
 
 
 def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
-                   ring16=None):
+                   ring16=None, strip: frozenset = frozenset()):
     """Drop-in for pallas_poa.fill_global (same outputs/packed layout).
 
     Pads lanes to a 128 multiple internally; ``packed`` is returned at
@@ -396,10 +422,10 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
     sink_rows = dg.sink_rows
     sink_pad = (len(sink_rows) + 7) // 8 * 8
 
-    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc)
+    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc, strip)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc)
+        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc, strip)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
