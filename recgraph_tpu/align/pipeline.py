@@ -266,6 +266,7 @@ def _run(opts: Options) -> None:
         # coordinator barrier, so a doomed run must bail before joining
         raise SystemExit("multi-process runs require -o <file>")
     pid, nproc, prev_mesh = _setup_parallel(opts)
+    t_setup = time.time() - t0
     # progress watchdog: only armed on remote device backends (the
     # tunnel can wedge mid-run); CPU runs never hang this way
     from .. import watchdog
@@ -282,6 +283,8 @@ def _run(opts: Options) -> None:
     finally:
         if prev_mesh is not False:
             pmesh.set_active_mesh(prev_mesh)
+    t_align = time.time() - t0 - t_setup
+    t_gather = 0.0
     if nproc > 1:
         # result gather: barrier, then process 0 concatenates parts
         # (the only cross-host data motion — reads are embarrassingly
@@ -290,9 +293,25 @@ def _run(opts: Options) -> None:
 
         from jax.experimental import multihost_utils
 
+        tg0 = time.time()
         multihost_utils.sync_global_devices("recgraph_gaf_parts")
         if pid == 0:
             distributed.merge_host_outputs(opts.out_file, nproc)
+        t_gather = time.time() - tg0
+    import os
+
+    if os.environ.get("RECGRAPH_METRICS"):
+        # phase split for the multi-host scaling projection (PERF.md
+        # "Multi-host scaling"): setup = process-group init + mesh;
+        # align = the per-host read loop (scales 1/N);
+        # gather = end barrier + part-file merge (the barrier charges
+        # host skew to the EARLIER host, so the minimum over hosts is
+        # the pure merge cost)
+        print(
+            f"recgraph-timing: pid={pid}/{nproc} setup={t_setup:.3f} "
+            f"align={t_align:.3f} gather={t_gather:.3f}",
+            file=sys.stderr,
+        )
 
 
 def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:

@@ -27,7 +27,7 @@ main(sys.argv[1:])
 """
 
 
-def _spawn_workers(tmp_path, out, mode_args):
+def _spawn_workers(tmp_path, out, mode_args, extra_env=None):
     port = socket.socket()
     port.bind(("localhost", 0))
     addr = f"localhost:{port.getsockname()[1]}"
@@ -36,6 +36,7 @@ def _spawn_workers(tmp_path, out, mode_args):
     script.write_text(WORKER)
     env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
+    env.update(extra_env or {})
     procs = [
         subprocess.Popen(
             [
@@ -51,6 +52,7 @@ def _spawn_workers(tmp_path, out, mode_args):
         )
         for k in range(2)
     ]
+    errs = []
     for p in procs:
         try:
             so, se = p.communicate(timeout=300)
@@ -59,6 +61,8 @@ def _spawn_workers(tmp_path, out, mode_args):
                 q.kill()
             pytest.fail("distributed worker timed out")
         assert p.returncode == 0, se.decode()[-2000:]
+        errs.append(se.decode())
+    return errs
 
 
 def test_two_process_cli_run(tmp_path, example_paths):
@@ -79,3 +83,37 @@ def test_two_process_cli_run(tmp_path, example_paths):
     assert open(out).read() == buf.getvalue()
     # per-host part files exist (written before the merge)
     assert os.path.exists(out + ".part0") and os.path.exists(out + ".part1")
+
+
+def test_two_process_overhead_projection(tmp_path):
+    """Multi-host efficiency projection (PERF.md "Multi-host scaling"):
+    the hot loop has NO cross-host communication — the only shared
+    steps are the jax.distributed init barrier (setup) and the end
+    barrier + part merge (gather).  This pins the measured overheads:
+    the pure merge cost (the later-arriving host's gather, which does
+    not wait) must be a trivial fraction of the per-host align time,
+    which is the term that scales 1/N."""
+    import re
+
+    out = str(tmp_path / "out.gaf")
+    errs = _spawn_workers(
+        tmp_path, out, ["-m", "1"], extra_env={"RECGRAPH_METRICS": "1"}
+    )
+    stats = []
+    for se in errs:
+        m = re.search(
+            r"recgraph-timing: pid=(\d)/2 setup=([\d.]+) "
+            r"align=([\d.]+) gather=([\d.]+)", se)
+        assert m, se[-1500:]
+        stats.append(tuple(float(x) for x in m.groups()))
+    align = min(s[2] for s in stats)
+    # the later host's gather is barrier-wait-free: pure merge cost
+    gather_pure = min(s[3] for s in stats)
+    assert gather_pure < 0.25 * align, (stats, "merge cost should be a "
+                                        "trivial fraction of align")
+    # efficiency projection: eff(N) = W / (W + N*(F_b + m) - F_b) with
+    # W = align (scales 1/N), m = pure gather; the barrier-wait part of
+    # setup/gather is skew, which exists at N=1 too (it is not overhead
+    # charged to scaling).  With the measured numbers this stays >= 0.8
+    # for any N while W/N >= 4 * (F_b + m) — document, don't flake.
+    print(f"# timing stats (setup, align, gather) per host: {stats}")
