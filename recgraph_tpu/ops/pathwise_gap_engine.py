@@ -327,10 +327,12 @@ def _cummax_lanes(x):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("maxb", "semiglobal", "ring_s", "fits", "force_easy"),
+    static_argnames=("maxb", "semiglobal", "ring_s", "fits", "force_easy",
+                     "hard_pallas", "hard_strip"),
 )
 def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
-              maxb, semiglobal, ring_s, fits=False, force_easy=False):
+              maxb, semiglobal, ring_s, fits=False, force_easy=False,
+              hard_pallas=False, hard_strip=None):
     """Scan-over-rows delta-form fill.
 
     Returns (dpm, x, y) each int32[n, B, P, Lp] matching the oracle's
@@ -586,6 +588,62 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         fixmem32 = fixmem.astype(jnp.int32)                 # [MB, P]
         hotl = (fire32[:, None] * oh).sum(0) > 0            # [P]
 
+        if hard_pallas:
+            # Pallas column-chain kernel (pallas_gap67_hardrow): the
+            # identical per-column program in-register, ~50x the XLA
+            # scan's issue-bound body.  Lane maps collapse the owner
+            # one-hots to per-lane ids (sound: own is one-hot and
+            # fixmem group-disjoint — checked by _hard_pallas_ok).
+            from . import pallas_gap67_hardrow as pg67
+
+            Lpm1 = Lp - 1
+            Lpm = -(-Lpm1 // pg67.TILE) * pg67.TILE
+            padc = Lpm - Lpm1
+
+            def padcols(a):
+                return jnp.pad(a, ((0, padc),) + ((0, 0),) * (a.ndim - 1))
+
+            U_k = padcols(jnp.moveaxis(U, 2, 1))            # [Lpm, MB, B]
+            Dc_k = padcols(jnp.moveaxis(Dc, 2, 1))
+            Dfd_own = jnp.einsum("jbsp,sp->jbp", Dfd, own32)
+            Dfd_k = padcols(jnp.moveaxis(Dfd_own, 2, 1))    # [Lpm, P, B]
+            Ypre_k = padcols(jnp.moveaxis(Ypre, 2, 1))
+            own_any = own.any(axis=0)
+            own_id = jnp.where(own_any, jnp.argmax(own32, axis=0), -1)
+            hot_lane = (own32 * oh).sum(0) > 0
+            fix_any = fixmem.any(axis=0)
+            fixmem_id = jnp.where(
+                fix_any, jnp.argmax(fixmem32, axis=0), -1
+            )
+            lc = jnp.broadcast_to(
+                jnp.stack([
+                    own_id.astype(jnp.int32),
+                    hot_lane.astype(jnp.int32),
+                    fixmem_id.astype(jnp.int32),
+                    hotl.astype(jnp.int32),
+                ])[:, :, None],
+                (4, P, B),
+            )
+            scal = jnp.stack([
+                ai, o, e, jnp.int32(Lpm),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            ]).astype(jnp.int32)
+            xs_k, ds_k = pg67.hard_cols_lc(
+                U_k, Dc_k, Dfd_k, Ypre_k, lc, jnp.transpose(x0),
+                tb.astype(jnp.int32), nd, fire32, isa32, after32, scal,
+                interpret=pg67.INTERPRET,
+            )
+            Xrow = jnp.concatenate(
+                [x0[:, :, None],
+                 jnp.transpose(xs_k[:Lpm1], (2, 1, 0))], axis=2
+            )
+            Drow = jnp.concatenate(
+                [x0[:, :, None],
+                 jnp.transpose(ds_k[:Lpm1], (2, 1, 0))], axis=2
+            )
+            Yrow = y_fix.at[:, :, 0].set(0)
+            return Yrow, Xrow, Drow
+
         def col(carry, xsj):
             x_row, d_row = carry                            # [B, P]
             u_j, d_j, dfd_j, ypre_j = xsj
@@ -699,6 +757,22 @@ def _fill_gap(xs_meta, codes, alphas, node_start, table, seq, o, e,
         if force_easy:
             Yrow, Xrow, Drow = easy_row(
                 De, Ye, i, ai, x0, (pr_i, eap_i, edelta_i, emask_i))
+        elif hard_strip == "condeasy":   # timing-only: cond cost alone
+            Yrow, Xrow, Drow = jax.lax.cond(
+                easy_i,
+                lambda: easy_row(De, Ye, i, ai, x0,
+                                 (pr_i, eap_i, edelta_i, emask_i)),
+                lambda: easy_row(De, Ye, i, ai, x0,
+                                 (pr_i, eap_i, edelta_i, emask_i)),
+            )
+        elif hard_strip == "zeros":      # timing-only: empty hard branch
+            z = jnp.zeros((B, P, Lp), jnp.int32)
+            Yrow, Xrow, Drow = jax.lax.cond(
+                easy_i,
+                lambda: easy_row(De, Ye, i, ai, x0,
+                                 (pr_i, eap_i, edelta_i, emask_i)),
+                lambda: (z + Dp[0, :, :, :1], z, z),
+            )
         else:
             Yrow, Xrow, Drow = jax.lax.cond(
                 easy_i,
@@ -775,6 +849,28 @@ def fill_gap_device(g: PathGraph, sm: ScoreMatrix, seq, o: int, e: int,
         jnp.asarray(meta.node_start), table, seq, o, e,
         maxb=meta.maxb, semiglobal=semiglobal, ring_s=meta.ring_s,
         fits=fits, force_easy=bool(meta.easy[1 : meta.n - 1].all()),
+        hard_pallas=_hard_pallas_ok(meta),
+    )
+
+
+def _hard_pallas_ok(meta: GapMeta) -> bool:
+    """The hard-row Pallas kernel's per-lane owner collapse is sound iff
+    the owner maps are one-hot and the fixmem sets group-disjoint
+    (guaranteed by gap_meta's construction; verified here so a future
+    meta change degrades to the exact XLA scan, never to wrong
+    output).  TPU-only; RECGRAPH_NO_PALLAS67=1 disables."""
+    import os
+
+    if os.environ.get("RECGRAPH_NO_PALLAS67"):
+        return False
+    from . import pallas_gap67_hardrow as pg67
+
+    if jax.default_backend() != "tpu" and not pg67.INTERPRET:
+        return False
+    bown = np.asarray(meta.bown)
+    bfix = np.asarray(meta.bfixmem)
+    return bool(
+        (bown.sum(axis=1) <= 1).all() and (bfix.sum(axis=1) <= 1).all()
     )
 
 
