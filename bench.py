@@ -286,6 +286,82 @@ def longread_bench(line, iters, base_scalar):
     )
 
 
+def stretch_bench(line):
+    """BASELINE configs[4]: the 1k+ node / 10k-read synthetic corpus,
+    END-TO-END through the production pipeline (parse, encode, fill,
+    on-device walks, GAF emission to a file), reads/s wall-clock.
+    Correctness anchors to the oracle-generated golden sample
+    (tests/goldens/stretch_mode4_sample.gaf, pinned in
+    tests/test_stretch_sample.py).  vs_baseline divides by the
+    measured scalar-CPU baseline converted to reads/s on this corpus'
+    full-matrix cell count (the reference has no published numbers)."""
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from make_synthetic import make
+
+    from recgraph_tpu.align.pipeline import Options, run
+    from recgraph_tpu.graph.pathgraph import PathGraph
+    from recgraph_tpu.io import fasta, gfa
+    from recgraph_tpu import native
+    from recgraph_tpu.scoring import ScoreMatrix
+
+    d = "/tmp/recgraph_stretch_42"
+    if not os.path.exists(os.path.join(d, "graph.gfa")):
+        make(d, n_back=700, n_reads=10000, seed=42)
+    reads_fa = os.path.join(d, "reads.fa")
+    graph_gfa = os.path.join(d, "graph.gfa")
+    golden = os.path.join(root, "tests", "goldens",
+                          "stretch_mode4_sample.gaf")
+    seqs, _ = fasta.get_sequences(reads_fa)
+    n_reads = len(seqs)
+    parsed = gfa.parse_gfa(graph_gfa)
+    g = PathGraph.from_gfa(parsed, is_reversed=False)
+    from recgraph_tpu.graph.poagraph import PoaGraph
+
+    gl = PoaGraph.from_gfa(parsed)
+    sm = ScoreMatrix.create("none", 2, -4)
+    # scalar-CPU reads/s estimate on this corpus: measured scalar
+    # Gcells/s over the per-read full-matrix cells (mode-4 is P-fold)
+    secs, scores = native.baseline_local_cpu(gl, sm, seqs[:24], repeats=1,
+                                             simd=False)
+    base_reads_s = 24 / (secs * g.paths_number)  # P-fold pathwise work
+
+    for mode in (1, 4):
+        out = tempfile.mktemp(suffix=".gaf")
+        t0 = time.time()
+        run(Options(sequence_path=reads_fa, graph_path=graph_gfa,
+                    alignment_mode=mode, out_file=out))
+        dt = time.time() - t0
+        got = open(out).read().splitlines()
+        # modes 4-9 write 0-based read numbers, so the reference's
+        # truncate-at-number==1 quirk (utils.rs:200-219, reproduced)
+        # drops read 0's line from -o files
+        ok = len(got) == (n_reads - 1 if mode == 4 else n_reads)
+        if mode == 4 and ok:
+            want = open(golden).read().splitlines()[1:]
+            ok = got[: len(want)] == want
+        os.unlink(out)
+        if not ok:
+            print(f"# stretch mode{mode}: OUTPUT CHECK FAILED",
+                  file=sys.stderr)
+            continue
+        denom = base_reads_s if mode == 4 else base_reads_s * g.paths_number
+        print(json.dumps({
+            "metric": f"stretch_mode{mode}_reads_per_s",
+            "value": round(n_reads / dt, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(n_reads / dt / denom, 2),
+            "device": jax.devices()[0].platform,
+        }))
+        print(
+            f"# stretch e2e mode{mode}: {n_reads} reads, n={g.n} "
+            f"P={g.paths_number}, {dt:.1f}s wall, golden-sample checked",
+            file=sys.stderr,
+        )
+
+
 def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
     from recgraph_tpu.graph.pathgraph import PathGraph, nodes_displacement_matrix
     from recgraph_tpu.graph.poagraph import PoaGraph
@@ -593,6 +669,12 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
         longread_bench(line, iters, base_scalar)
     except Exception as e:
         print(f"# longread bench failed: {e}", file=sys.stderr)
+
+    # ---- stretch config (BASELINE configs[4]): 10k reads e2e ----
+    try:
+        stretch_bench(line)
+    except Exception as e:
+        print(f"# stretch bench failed: {e}", file=sys.stderr)
 
     line(*headline)
 

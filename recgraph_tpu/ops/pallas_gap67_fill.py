@@ -1,0 +1,703 @@
+"""Full-Pallas fill for the pathwise affine modes 6/7.
+
+The XLA scan fill (pathwise_gap_engine._fill_gap) is measured ~10-15x
+off the HBM roofline on TPU (PERF.md round-4 decomposition: 155 ms of
+easy-row floor at ~116 us/row vs a ~10 us/row roofline, plus 93 ms of
+per-row lax.cond boundaries and 83 ms of hard-branch staging).  This
+kernel runs the ENTIRE fill in one pallas_call:
+
+- grid (batch tiles, row blocks of R); the HBM output planes are the
+  row history (the pallas_pathwise_bigp pattern): node-start rows DMA
+  their predecessor rows back from the outputs, non-start rows read the
+  previous row from VMEM scratch, so no scan carry exists and branch
+  boundaries are Mosaic predication (pl.when on scratch) instead of
+  XLA cond buffer copies;
+- easy rows (97%+) run the closed-form vector program of
+  pathwise_gap_engine.easy_row — alpha-lane (max,+) radix-4 chains,
+  packed (column << 17 | value) replay for the mask lanes (requires
+  the caller's ``fits`` gate);
+- hard rows run the literal per-column program (gap.rs:150-539) with
+  the per-block staging vectorised over columns into [MB, Bt, Lp]
+  strips and the inherently-sequential part as a fori_loop over
+  columns on an in-register [Bt, P] state — the same owner-collapsed
+  program as ops/pallas_gap67_hardrow, lane-transposed;
+- the multi-alpha insertion-order fixups (first-column and per-column)
+  run exactly as the scalar spec (gap.rs:133-147, 521-537).
+
+Exactness: bit-identical to _fill_gap on all three planes — pinned by
+tests/test_pallas_gap67.py (interpret=True on CPU, example + fuzz
+graphs) and by the modes-6/7 CLI goldens on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(1 << 28)
+OFF = 1 << 16
+ENC_MASK = (1 << 17) - 1
+VMEM_BUDGET = 13 * 1024 * 1024
+
+# row flag bits (host-packed into rowflags[n])
+F_EASY = 1
+F_START = 2
+F_EDELTA = 4
+F_FCAP = 8
+
+# block flag bits (bflags[n, MB])
+BF_VALID = 1
+BF_DELTA = 2
+BF_CASE1 = 4
+BF_FIRST = 8
+BF_FIRE = 16
+BF_ISA = 32
+BF_AFTER = 64
+
+
+def _chain_radix4(x, jcol, Lp, op="max"):
+    """Inclusive prefix max (or sum) over the lane (column) axis."""
+    k = 1
+    while k < Lp:
+        cands = []
+        for m in range(1, 4):
+            d = m * k
+            if d < Lp:
+                r = pltpu.roll(x, d, x.ndim - 1)
+                cands.append((d, r))
+        for d, r in cands:
+            if op == "max":
+                x = jnp.maximum(x, jnp.where(jcol >= d, r, NEG))
+            else:
+                x = x + jnp.where(jcol >= d, r, 0)
+        k *= 4
+    return x
+
+
+def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
+    def kernel(
+        # ---- scalar prefetch (SMEM) ----
+        rowflags_ref,   # i32[n_pad]
+        pr_ref,         # i32[n_pad]      easy pred row
+        eap_ref,        # i32[n_pad]      easy pred alpha
+        fap_ref,        # i32[n_pad]      alphas[i-1] (first col, non-start)
+        alphas_ref,     # i32[n_pad]
+        codes_ref,      # i32[n_pad]
+        bpred_ref,      # i32[n_pad * MB]
+        bap_ref,        # i32[n_pad * MB]
+        btb_ref,        # i32[n_pad * MB]
+        bflags_ref,     # i32[n_pad * MB]
+        scal_ref,       # i32[8]: [o, e, n-2 (last real row), 0...]
+        # ---- VMEM blocks ----
+        emask_ref,      # i32[R, P]   common minus row alpha
+        fmask_ref,      # i32[R, P]   first-col mask (non-start)
+        bmask_ref,      # i32[R, MB, P]
+        bmaskq_ref,     # i32[R, MB, P]
+        bfix_ref,       # i32[R, MB, P]
+        bownid_ref,     # i32[R, P]   owner block per lane (-1 none)
+        bhot_ref,       # i32[R, P]   tb[own(p)] == p
+        bhotl_ref,      # i32[R, P]   lane is a firing block's tb
+        sub_ref,        # i32[7, Bt, Lp]
+        # ---- outputs (ANY/HBM) ----
+        dm_any,         # [n_pad, B, P, Lp]
+        x_any,
+        y_any,
+        # ---- scratch ----
+        prevD, prevY, prevX,   # [Bt, P, Lp]
+        row0,                  # [Bt, P, Lp]
+        predD, predY, predX,   # [Bt, P, Lp] DMA staging
+        ycs, yfx, dfds,        # [Bt, P, Lp] hard staging
+        x0buf,                 # [Bt, P, Lp]
+        outD, outX, outY,      # [Bt, P, Lp] write staging
+        strips,                # [2, MB, Bt, Lp] hard strips (U, Dc)
+        rsem,                  # DMA sems (4,)
+        wsem,                  # DMA sems (3,)
+    ):
+        step = pl.program_id(1)
+        bo = pl.program_id(0) * Bt
+        Lp = sub_ref.shape[2]
+        o = scal_ref[0]
+        e = scal_ref[1]
+        nlast = scal_ref[2]    # n - 2: the last real row
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lp), 1)
+        jc1 = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, Lp), 2)
+        jcol3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P, Lp), 2)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P, Lp), 1)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P), 1)
+        j0 = jcol3 == 0
+
+        def subl(v, a):
+            """Extract path lane ``a`` (sublane axis) -> [Bt, 1, Lp]."""
+            return jnp.max(
+                jnp.where(lane3 == a, v, NEG), axis=1, keepdims=True
+            )
+
+        def lane0b(v):
+            """Broadcast column 0 of v over all columns."""
+            c0 = jnp.max(jnp.where(jcol3 == 0, v, NEG), axis=2,
+                         keepdims=True)
+            return jnp.broadcast_to(c0, v.shape)
+
+        @pl.when(step == 0)
+        def _():
+            # row 0: o + e*j ladder on the row-0 alpha lane (gap.rs:23-33)
+            a0 = alphas_ref[0]
+            ladder = (o + e * jcol3) * jnp.where(jcol3 >= 1, 1, 0)
+            r0 = jnp.where((lane3 == a0) & (jcol3 >= 1), ladder, 0)
+            row0[:, :, :] = r0
+            prevD[:, :, :] = r0
+            prevY[:, :, :] = r0
+            zz = jnp.zeros((Bt, P, Lp), jnp.int32)
+            prevX[:, :, :] = zz
+            outX[:, :, :] = zz
+            # write rows 0 and n-1 (X row 0 is zeros; row n-1 all zeros)
+            for dst, src in ((dm_any, row0), (y_any, row0), (x_any, outX)):
+                cp = pltpu.make_async_copy(
+                    src, dst.at[0, pl.ds(bo, Bt)], wsem.at[0]
+                )
+                cp.start()
+                cp.wait()
+            for dst in (dm_any, x_any, y_any):
+                cp = pltpu.make_async_copy(
+                    outX, dst.at[nlast + 1, pl.ds(bo, Bt)], wsem.at[0]
+                )
+                cp.start()
+                cp.wait()
+
+        def fetch(plane_any, buf, pred, sem):
+            """DMA row ``pred`` of an output plane into ``buf`` (row 0
+            is served from scratch by the callers)."""
+            @pl.when(pred > 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    plane_any.at[pred, pl.ds(bo, Bt)], buf, rsem.at[sem]
+                )
+                cp.start()
+                cp.wait()
+
+        # ------------------------------------------------------------------
+        # row loop
+        # ------------------------------------------------------------------
+        for r in range(R):
+            i = step * R + r
+            ii = jnp.minimum(i, nlast)   # clamp tail-pad SMEM reads
+            live = (i >= 1) & (i <= nlast)
+            flags = jnp.where(live, rowflags_ref[ii], F_EASY)
+            ai = alphas_ref[ii]
+            is_start = (flags & F_START) != 0
+            is_hard = ((flags & F_EASY) == 0) & live
+            code_i = codes_ref[ii]
+            sub3 = sub_ref[code_i][:, None, :]               # [Bt, 1, Lp]
+
+            # ---- first column -> x0buf (gap.rs:35-147) ----
+            if semiglobal:
+                x0buf[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
+            else:
+
+                @pl.when(~is_start)
+                def _():
+                    ap = fap_ref[ii]
+                    cap = (flags & F_FCAP) != 0
+                    Xp0b = lane0b(prevX[:, :, :])
+                    xp_ai = subl(Xp0b, ai)
+                    xp_ap = subl(Xp0b, ap)
+                    x_ai_t = jnp.where(ii == 1, o + e, xp_ai + e)
+                    x_ai_f = jnp.where(ii == 1, o + e, xp_ai + xp_ap + e)
+                    x_ai = jnp.where(cap, x_ai_t, x_ai_f)
+                    xm = jnp.where(cap, Xp0b, Xp0b - xp_ai)
+                    fm = fmask_ref[r][None, :, None]
+                    x0 = jnp.where(fm != 0, xm, 0)
+                    x0buf[:, :, :] = jnp.where(lane3 == ai, x_ai, x0)
+
+                @pl.when(is_start)
+                def _():
+                    x0 = jnp.zeros((Bt, P, Lp), jnp.int32)
+                    for s in range(MB):
+                        bf = bflags_ref[ii * MB + s]
+                        valid = ((bf & BF_VALID) != 0) & live
+                        pred_s = jnp.where(valid, bpred_ref[ii * MB + s], 0)
+                        fetch(x_any, predX, pred_s, 3)
+                        Xp0b = lane0b(
+                            jnp.where(pred_s == 0,
+                                      jnp.zeros((Bt, P, Lp), jnp.int32),
+                                      predX[:, :, :])
+                        )
+                        tb_s = btb_ref[ii * MB + s]
+                        ap_s = bap_ref[ii * MB + s]
+                        d_s = jnp.where((bf & BF_DELTA) != 0, 1, 0)
+                        xp_tb = subl(Xp0b, tb_s)
+                        xp_ap = subl(Xp0b, ap_s)
+                        x_tb = jnp.where(pred_s == 0, o + e,
+                                         xp_tb + d_s * xp_ap + e)
+                        xm = Xp0b - d_s * xp_tb
+                        mb = bmask_ref[r, s][None, :, None] != 0
+                        x0 = jnp.where(valid & mb, xm, x0)
+                        x0 = jnp.where(valid & (lane3 == tb_s), x_tb, x0)
+                    # insertion-order fixup (gap.rs:133-147)
+                    for s in range(MB):
+                        bf = bflags_ref[ii * MB + s]
+                        tb_s = btb_ref[ii * MB + s]
+                        fire = ((bf & BF_VALID) != 0) & (
+                            (bf & BF_FIRST) != 0) & (tb_s != ai) & live
+                        va = subl(x0, tb_s) - subl(x0, ai)
+                        x0 = jnp.where(fire & (lane3 == tb_s), va, x0)
+                        fx = bfix_ref[r, s][None, :, None] != 0
+                        x0 = jnp.where(fire & fx, x0 + va, x0)
+                    x0buf[:, :, :] = x0
+
+            x0 = x0buf[:, :, :]
+
+            # ---- easy pred planes (start rows DMA; others use prev) ----
+            pr_i = jnp.where(is_start & ~is_hard & live, pr_ref[ii], 0)
+            fetch(dm_any, predD, pr_i, 0)
+            fetch(y_any, predY, pr_i, 1)
+            use_pred = is_start & (pr_i > 0)
+            pD = jnp.where(use_pred, predD[:, :, :],
+                           jnp.where(is_start, row0[:, :, :],
+                                     prevD[:, :, :]))
+            pY = jnp.where(use_pred, predY[:, :, :],
+                           jnp.where(is_start, row0[:, :, :],
+                                     prevY[:, :, :]))
+
+            # ---- easy row (pathwise_gap_engine.easy_row) ----
+            @pl.when(~is_hard)
+            def _():
+                ap = eap_ref[ii]
+                d32 = jnp.where((flags & F_EDELTA) != 0, 1, 0)
+                pD_ap = subl(pD, ap)
+                pD_ai = subl(pD, ai)
+                pY_ap = subl(pY, ap)
+                pY_ai = subl(pY, ai)
+
+                u_y = pY_ap + d32 * pY_ai + e
+                u_dpm = pD_ap + d32 * pD_ai + o + e
+                usel = u_dpm >= u_y
+                y_a = jnp.where(usel, u_dpm, u_y)            # [Bt, 1, Lp]
+                Ym = jnp.where(usel, pD - d32 * pD_ai, pY - d32 * pY_ai)
+
+                base = pD_ap + d32 * pD_ai
+                d_col = pltpu.roll(base, 1, 2) + sub3        # col 0 unused
+                const = jnp.maximum(d_col, y_a)
+                x0_ai = subl(x0, ai)
+                q = const - e * jc1
+                q = jnp.where(jc1 == 0,
+                              jnp.maximum(x0_ai, x0_ai - o), q)
+                M = _chain_radix4(q, jc1, Lp)
+                x_a = o + e * jc1 + pltpu.roll(M, 1, 2)
+                x_a = jnp.where(jc1 == 0, x0_ai, x_a)
+                dpm_a = jnp.maximum(const, x_a)
+                dpm_a = jnp.where(jc1 == 0, x0_ai, dpm_a)
+                lsel = (dpm_a + o >= x_a).astype(jnp.int32)
+                dsel = jnp.where(dpm_a == d_col, 0,
+                                 jnp.where(dpm_a == y_a, 1, 2))
+
+                Dmn = pD - d32 * pD_ai
+                Dm_sh = pltpu.roll(Dmn, 1, 2)
+                Cval = jnp.where(dsel == 0, Dm_sh, Ym)
+                Cval = jnp.where(j0, x0, Cval)
+                inject = pltpu.roll(lsel, 1, 2) * jnp.where(
+                    pltpu.roll(dsel, 1, 2) != 2, 1, 0
+                )
+                l0 = jnp.max(jnp.where(jc1 == 0, lsel, 0), 2,
+                             keepdims=True)
+                inject = jnp.where(jc1 == 1, l0, inject)
+                inject = jnp.where(jc1 == 0, 0, inject)
+                src = _chain_radix4(jnp.where(inject != 0, jc1, 0), jc1, Lp)
+                Cval_sh = pltpu.roll(Cval, 1, 2)
+                enc = jnp.where(inject != 0,
+                                (jc1 << 17) | (Cval_sh + OFF), -1)
+                encM = _chain_radix4(enc, jc1, Lp)
+                x_m = jnp.where(src == 0, x0, (encM & ENC_MASK) - OFF)
+                dpm_m = jnp.where(dsel == 0, Dm_sh,
+                                  jnp.where(dsel == 1, Ym, x_m))
+
+                interior = jcol3 >= 1
+                la = lane3 == ai
+                lm = emask_ref[r][None, :, None] != 0
+                outY[:, :, :] = jnp.where(
+                    interior & la, y_a,
+                    jnp.where(interior & lm, Ym, 0))
+                outX[:, :, :] = jnp.where(
+                    interior & la, x_a,
+                    jnp.where(interior & lm, x_m,
+                              jnp.where(~interior, x0, 0)))
+                outD[:, :, :] = jnp.where(
+                    interior & la, dpm_a,
+                    jnp.where(interior & lm, dpm_m,
+                              jnp.where(~interior, x0, 0)))
+
+            # ---- hard row (gap.rs:150-539) ----
+            if True:
+
+                @pl.when(is_hard)
+                def _():
+                    own1 = bownid_ref[r][None, :, None]      # [1, P, 1]
+                    ycs[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
+                    dfds[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
+                    # per-block staging: U/y pass + D candidates
+                    for s in range(MB):
+                        bf = bflags_ref[ii * MB + s]
+                        valid = (bf & BF_VALID) != 0
+                        pred_s = jnp.where(valid,
+                                           bpred_ref[ii * MB + s], 0)
+                        fetch(dm_any, predD, pred_s, 0)
+                        fetch(y_any, predY, pred_s, 1)
+                        Dp_s = jnp.where(pred_s == 0, row0[:, :, :],
+                                         predD[:, :, :])
+                        Yp_s = jnp.where(pred_s == 0, row0[:, :, :],
+                                         predY[:, :, :])
+                        tb_s = btb_ref[ii * MB + s]
+                        ap_s = bap_ref[ii * MB + s]
+                        d_s = jnp.where((bf & BF_DELTA) != 0, 1, 0)
+                        yp_tb = subl(Yp_s, tb_s)
+                        yp_ap = subl(Yp_s, ap_s)
+                        dp_tb = subl(Dp_s, tb_s)
+                        dp_ap = subl(Dp_s, ap_s)
+                        u_y = yp_ap + d_s * yp_tb + e
+                        u_dpm = dp_ap + d_s * dp_tb + o + e
+                        usel = u_dpm >= u_y
+                        case1 = (bf & BF_CASE1) != 0
+                        mb = bmask_ref[r, s][None, :, None] != 0
+                        mq = bmaskq_ref[r, s][None, :, None] != 0
+                        elsemask = jnp.where(case1, mq, mb)
+                        yc = ycs[:, :, :]
+                        yc = jnp.where(valid & usel & mb,
+                                       Dp_s - d_s * dp_tb, yc)
+                        yc = jnp.where(valid & ~usel & elsemask,
+                                       Yp_s - d_s * yp_tb, yc)
+                        u = jnp.where(usel, u_dpm, u_y)
+                        yc = jnp.where(valid & (lane3 == tb_s), u, yc)
+                        ycs[:, :, :] = yc
+                        # D candidates read pred column j-1
+                        Dp_sh = pltpu.roll(Dp_s, 1, 2)
+                        dsh_tb = pltpu.roll(dp_tb, 1, 2)
+                        dsh_ap = pltpu.roll(dp_ap, 1, 2)
+                        strips[0, s] = u[:, 0, :]
+                        strips[1, s] = (dsh_ap + d_s * dsh_tb + sub3)[:, 0, :]
+                        dfd_s = Dp_sh - d_s * dsh_tb
+                        dfds[:, :, :] = jnp.where(
+                            valid & (own1 == s), dfd_s, dfds[:, :, :]
+                        )
+                    # y multi-alpha fixup (gap.rs:521-537); the D select
+                    # reads the PRE-fixup y (ycs), as the scalar does
+                    y_f = ycs[:, :, :]
+                    for s in range(MB):
+                        bf = bflags_ref[ii * MB + s]
+                        tb_s = btb_ref[ii * MB + s]
+                        fire = ((bf & BF_VALID) != 0) & (
+                            (bf & BF_FIRST) != 0) & (tb_s != ai)
+                        va = subl(y_f, tb_s) - subl(y_f, ai)
+                        y_f = jnp.where(fire & (lane3 == tb_s), va, y_f)
+                        fx = bfix_ref[r, s][None, :, None] != 0
+                        y_f = jnp.where(fire & fx, y_f + va, y_f)
+                    yfx[:, :, :] = y_f
+
+                    # ---- column chain on the in-register [Bt, P] state
+                    ownid2 = bownid_ref[r][None, :]          # [1, P]
+                    hot2 = bhot_ref[r][None, :] != 0
+                    hotl2 = bhotl_ref[r][None, :] != 0
+                    ai_hot2 = lane2 == ai
+                    x0c = jnp.max(jnp.where(j0, x0, NEG), 2)  # [Bt, P]
+                    outX[:, :, :] = jnp.where(j0, x0, 0)
+                    outD[:, :, :] = jnp.where(j0, x0, 0)
+
+                    def col(jj, carry):
+                        x_row, d_row = carry                  # [Bt, P]
+                        x_ai = jnp.max(jnp.where(ai_hot2, x_row, NEG), 1,
+                                       keepdims=True)
+                        d_ai = jnp.max(jnp.where(ai_hot2, d_row, NEG), 1,
+                                       keepdims=True)
+                        dfd_j = jnp.max(
+                            jnp.where(jcol3 == jj, dfds[:, :, :], NEG), 2
+                        )
+                        ypre_j = jnp.max(
+                            jnp.where(jcol3 == jj, ycs[:, :, :], NEG), 2
+                        )
+                        x_new = jnp.zeros_like(x_row)
+                        stats = []
+                        for s in range(MB):
+                            tb_s = btb_ref[ii * MB + s]
+                            nd_s = jnp.where(tb_s != ai, 1, 0)
+                            tb_hot = lane2 == tb_s
+                            x_tb = jnp.max(jnp.where(tb_hot, x_row, NEG),
+                                           1, keepdims=True)
+                            d_tb = jnp.max(jnp.where(tb_hot, d_row, NEG),
+                                           1, keepdims=True)
+                            l_x = x_tb + nd_s * x_ai + e
+                            l_dpm = d_tb + nd_s * d_ai + o + e
+                            lsel = l_dpm >= l_x
+                            l_s = jnp.where(lsel, l_dpm, l_x)
+                            u_s = jnp.max(
+                                jnp.where(jcol == jj, strips[0, s], NEG),
+                                1, keepdims=True)
+                            dc_s = jnp.max(
+                                jnp.where(jcol == jj, strips[1, s], NEG),
+                                1, keepdims=True)
+                            mx_s = jnp.maximum(jnp.maximum(dc_s, u_s), l_s)
+                            stats.append((lsel, mx_s, u_s, dc_s, l_s))
+                            own_s = ownid2 == s
+                            xm = jnp.where(lsel, d_row - nd_s * d_tb,
+                                           x_row - nd_s * x_tb)
+                            x_new = jnp.where(
+                                own_s, jnp.where(hot2, l_s, xm), x_new)
+                        d_new = jnp.zeros_like(d_row)
+                        for s in range(MB):
+                            lsel, mx_s, u_s, dc_s, l_s = stats[s]
+                            is_d = mx_s == dc_s
+                            is_u = jnp.logical_and(
+                                jnp.logical_not(is_d), mx_s == u_s)
+                            dm = jnp.where(is_d, dfd_j,
+                                           jnp.where(is_u, ypre_j, x_new))
+                            own_s = ownid2 == s
+                            d_new = jnp.where(
+                                own_s, jnp.where(hot2, mx_s, dm), d_new)
+                        # per-column multi-alpha fixup
+                        d_ai2 = jnp.max(jnp.where(ai_hot2, d_new, NEG), 1,
+                                        keepdims=True)
+                        x_ai2 = jnp.max(jnp.where(ai_hot2, x_new, NEG), 1,
+                                        keepdims=True)
+                        va0d, va0x = [], []
+                        va_adj_d = jnp.zeros_like(d_ai2)
+                        va_adj_x = jnp.zeros_like(x_ai2)
+                        for s in range(MB):
+                            bf = bflags_ref[ii * MB + s]
+                            tb_hot = lane2 == btb_ref[ii * MB + s]
+                            m_tb_d = jnp.max(
+                                jnp.where(tb_hot, d_new, NEG), 1,
+                                keepdims=True)
+                            m_tb_x = jnp.max(
+                                jnp.where(tb_hot, x_new, NEG), 1,
+                                keepdims=True)
+                            isa_s = jnp.where((bf & BF_ISA) != 0, 1, 0)
+                            v0d = m_tb_d - d_ai2
+                            v0x = m_tb_x - x_ai2
+                            va0d.append(v0d)
+                            va0x.append(v0x)
+                            va_adj_d = va_adj_d + isa_s * v0d
+                            va_adj_x = va_adj_x + isa_s * v0x
+                        adds_d = jnp.zeros_like(d_new)
+                        adds_x = jnp.zeros_like(x_new)
+                        hotv_d = jnp.zeros_like(d_new)
+                        hotv_x = jnp.zeros_like(x_new)
+                        for s in range(MB):
+                            bf = bflags_ref[ii * MB + s]
+                            after_s = jnp.where((bf & BF_AFTER) != 0, 1, 0)
+                            fire_s = jnp.where((bf & BF_FIRE) != 0, 1, 0)
+                            vad = (va0d[s] - after_s * va_adj_d) * fire_s
+                            vax = (va0x[s] - after_s * va_adj_x) * fire_s
+                            in_fix = bfix_ref[r, s][None, :] != 0
+                            adds_d = jnp.where(in_fix, adds_d + vad,
+                                               adds_d)
+                            adds_x = jnp.where(in_fix, adds_x + vax,
+                                               adds_x)
+                            tb_hot = lane2 == btb_ref[ii * MB + s]
+                            hotv_d = jnp.where(tb_hot, hotv_d + vad,
+                                               hotv_d)
+                            hotv_x = jnp.where(tb_hot, hotv_x + vax,
+                                               hotv_x)
+                        d_fin = jnp.where(hotl2, hotv_d, d_new + adds_d)
+                        x_fin = jnp.where(hotl2, hotv_x, x_new + adds_x)
+                        here = jcol3 == jj
+                        outX[:, :, :] = jnp.where(
+                            here, x_fin[:, :, None], outX[:, :, :])
+                        outD[:, :, :] = jnp.where(
+                            here, d_fin[:, :, None], outD[:, :, :])
+                        return x_fin, d_fin
+
+                    jax.lax.fori_loop(1, Lp, col, (x0c, x0c))
+                    outY[:, :, :] = jnp.where(j0, 0, yfx[:, :, :])
+
+            # ---- commit: carry scratch + HBM writes ----
+            Drow = outD[:, :, :]
+            Xrow = outX[:, :, :]
+            Yrow = outY[:, :, :]
+
+            @pl.when(live)
+            def _():
+                prevD[:, :, :] = Drow
+                prevX[:, :, :] = Xrow
+                prevY[:, :, :] = Yrow
+                for k, (dst, src) in enumerate(
+                    ((dm_any, outD), (x_any, outX), (y_any, outY))
+                ):
+                    cp = pltpu.make_async_copy(
+                        src, dst.at[ii, pl.ds(bo, Bt)], wsem.at[k]
+                    )
+                    cp.start()
+                    cp.wait()
+
+    return kernel
+
+
+_cache: dict = {}
+
+
+def fill_gap67_pallas(xs, table, seq, o, e, semiglobal, interpret=False,
+                      Bt=None):
+    """Run the full fill; ``xs`` is the host-packed metadata from
+    :func:`pack_meta`.  Returns (Dm, X, Y) int32[n, B, P, Lp]."""
+    (n, P, MB, rowflags, pr, eap, fap, alphas, codes, bpred, bap, btb,
+     bflags, emask, fmask, bmask, bmaskq, bfix, bownid, bhot, bhotl) = xs
+    B0, Lp = seq.shape
+    # DMA slices need 8-aligned trailing dims: pad the path axis with
+    # inert lanes (all masks 0, owner -1 -> those lanes stay 0, matching
+    # the engine's untouched-lane convention) and the batch up to the
+    # tile size
+    P0 = P
+    P = -(-P // 8) * 8
+
+    def padp(a, fill=0):
+        return np.pad(np.asarray(a), ((0, 0),) * (a.ndim - 1)
+                      + ((0, P - P0),), constant_values=fill)
+
+    emask, fmask, bhot, bhotl = (padp(a) for a in
+                                 (emask, fmask, bhot, bhotl))
+    bmask, bmaskq, bfix = (padp(a) for a in (bmask, bmaskq, bfix))
+    bownid = padp(bownid, fill=-1)
+    if Bt is None:
+        Bt = 32
+    Bt = min(Bt, -(-B0 // 8) * 8)
+    B = -(-B0 // Bt) * Bt
+    if B != B0:
+        seq = jnp.concatenate(
+            [seq, jnp.broadcast_to(seq[:1], (B - B0, Lp))], axis=0
+        )
+    R = 8
+    steps = -(-n // R)
+    n_pad = steps * R
+
+    key = (n, P, MB, B, Lp, Bt, R, bool(semiglobal), interpret)
+    fn = _cache.get(key)
+    if fn is None:
+        kernel = _make_kernel(R, MB, Bt, P, bool(semiglobal))
+        grid = (B // Bt, steps)
+        bspec = lambda shape: pl.BlockSpec(
+            shape, lambda b, s, *_: (s,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM)
+        fn = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=11,
+                grid=grid,
+                in_specs=[
+                    bspec((R, P)),          # emask
+                    bspec((R, P)),          # fmask
+                    bspec((R, MB, P)),      # bmask
+                    bspec((R, MB, P)),      # bmaskq
+                    bspec((R, MB, P)),      # bfix
+                    bspec((R, P)),          # bownid
+                    bspec((R, P)),          # bhot
+                    bspec((R, P)),          # bhotl
+                    pl.BlockSpec((7, Bt, Lp), lambda b, s, *_: (0, b, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32)
+                    for _ in range(14)
+                ] + [
+                    pltpu.VMEM((2, MB, Bt, Lp), jnp.int32),
+                    pltpu.SemaphoreType.DMA((4,)),
+                    pltpu.SemaphoreType.DMA((3,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, B, P, Lp), jnp.int32)
+                for _ in range(3)
+            ],
+            interpret=interpret,
+        )
+        _cache[key] = fn
+
+    def padn(a, fill=0):
+        pad = n_pad - a.shape[0]
+        if a.ndim == 1:
+            return np.pad(a, (0, pad), constant_values=fill)
+        return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                      constant_values=fill)
+
+    sub = table[:, seq]                                     # [7, B, Lp]
+    scal = jnp.stack([jnp.int32(o), jnp.int32(e), jnp.int32(n - 2),
+                      jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                      jnp.int32(0), jnp.int32(0)])
+    i32 = lambda a: jnp.asarray(padn(np.asarray(a, np.int32)))
+    out = fn(
+        i32(rowflags), i32(pr), i32(eap), i32(fap), i32(alphas),
+        i32(codes),
+        jnp.asarray(padn(np.asarray(bpred, np.int32)).reshape(-1)),
+        jnp.asarray(padn(np.asarray(bap, np.int32)).reshape(-1)),
+        jnp.asarray(padn(np.asarray(btb, np.int32)).reshape(-1)),
+        jnp.asarray(padn(np.asarray(bflags, np.int32)).reshape(-1)),
+        scal,
+        i32(emask), i32(fmask), i32(bmask), i32(bmaskq), i32(bfix),
+        jnp.asarray(padn(np.asarray(bownid, np.int32), fill=-1)),
+        i32(bhot), i32(bhotl),
+        sub,
+    )
+    Dm, X, Y = (p[:n, :B0, :P0] for p in out)
+    return Dm, X, Y
+
+
+def pack_meta(meta):
+    """Pack GapMeta into the kernel's flag/id arrays (host, numpy)."""
+    n, P, MB = meta.n, meta.P, meta.maxb
+    rowflags = (
+        meta.easy.astype(np.int32) * F_EASY
+        + meta.node_start.astype(np.int32) * F_START
+        + meta.edelta.astype(np.int32) * F_EDELTA
+        + meta.fcommon_ap.astype(np.int32) * F_FCAP
+    )
+    bflags = (
+        meta.bvalid.astype(np.int32) * BF_VALID
+        + meta.bdelta.astype(np.int32) * BF_DELTA
+        + meta.bcase1.astype(np.int32) * BF_CASE1
+        + meta.bfirst.astype(np.int32) * BF_FIRST
+        + meta.bfire.astype(np.int32) * BF_FIRE
+        + meta.bisa.astype(np.int32) * BF_ISA
+        + meta.bafter.astype(np.int32) * BF_AFTER
+    )
+    own = meta.bown                                  # [n, MB, P] bool
+    own_any = own.any(axis=1)
+    bownid = np.where(own_any, own.argmax(axis=1), -1).astype(np.int32)
+    tb_of_own = np.take_along_axis(
+        np.asarray(meta.btb), np.maximum(bownid, 0), axis=1
+    )
+    lanes = np.arange(P)[None, :]
+    bhot = (own_any & (tb_of_own == lanes)).astype(np.int32)
+    fire = meta.bfire                                # [n, MB]
+    oh = meta.btb[:, :, None] == lanes[None]         # [n, MB, P]
+    bhotl = ((fire[:, :, None] & oh).any(axis=1)).astype(np.int32)
+    return (
+        n, P, MB, rowflags, meta.pr, meta.eap, meta.fap, meta.alphas,
+        meta.codes, meta.bpred, meta.bap, meta.btb, bflags,
+        meta.emask.astype(np.int32), meta.fmask.astype(np.int32),
+        meta.bmask.astype(np.int32), meta.bmaskq.astype(np.int32),
+        meta.bfixmem.astype(np.int32), bownid,
+        bhot, bhotl,
+    )
+
+
+# set True by tests to run the kernel through the Pallas interpreter
+INTERPRET = False
+
+
+def eligible(meta, Lp: int, table, o, e) -> bool:
+    """The kernel's preconditions: packed-chain bound (fits), one-hot
+    owner maps, disjoint fixmem sets, lane/SMEM budgets."""
+    mt = int(np.abs(np.asarray(table)).max())
+    fits = 2 * (Lp * (mt + max(abs(o), abs(e))) + abs(o)) < (1 << 16)
+    smem = (7 * meta.n + 4 * meta.n * meta.maxb) * 4
+    return bool(
+        fits
+        and meta.P <= 128
+        and smem < 420_000
+        and (meta.bown.sum(axis=1) <= 1).all()
+        and (meta.bfixmem.sum(axis=1) <= 1).all()
+    )

@@ -47,6 +47,7 @@ delta-form walk over them.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -844,6 +845,34 @@ def fill_gap_device(g: PathGraph, sm: ScoreMatrix, seq, o: int, e: int,
     Lp = int(seq.shape[1])
     mt = int(np.abs(np.asarray(sm.table)).max())
     fits = 2 * (Lp * (mt + max(abs(o), abs(e))) + abs(o)) < (1 << 16)
+    # full-Pallas fill (pallas_gap67_fill): the whole row scan in one
+    # kernel — Mosaic predication instead of the measured 70 us/row
+    # lax.cond boundaries.  TPU-only (tests drive it via INTERPRET);
+    # the XLA scan below stays as the CPU path / exactness reference.
+    from . import pallas_gap67_fill as pgf
+
+    if (
+        not os.environ.get("RECGRAPH_NO_PALLAS67")
+        and (jax.default_backend() == "tpu" or pgf.INTERPRET)
+        and Lp % 128 == 0
+        and pgf.eligible(meta, Lp, sm.table, o, e)
+    ):
+        try:
+            return pgf.fill_gap67_pallas(
+                pgf.pack_meta(meta), table, seq, o, e, semiglobal,
+                interpret=pgf.INTERPRET,
+            )
+        except Exception as exc:  # Mosaic cliff: fall back to XLA scan
+            import sys
+
+            from ..metrics import count_fallback
+
+            count_fallback("gap67_pallas_fill")
+            print(
+                f"recgraph: modes-6/7 Pallas fill failed "
+                f"({str(exc)[:90]}); using the XLA scan",
+                file=sys.stderr,
+            )
     return _fill_gap(
         xs_meta, jnp.asarray(meta.codes), jnp.asarray(meta.alphas),
         jnp.asarray(meta.node_start), table, seq, o, e,

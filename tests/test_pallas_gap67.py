@@ -66,3 +66,57 @@ def test_hardrow_kernel_bit_exact_fuzz(monkeypatch):
         got = _planes(g, sm, seq, -3, -1, False, True, monkeypatch)
         for a, b, name in zip(ref, got, "DXY"):
             assert (a == b).all(), f"seed {seed} {name}"
+
+
+def _planes_full(g, sm, seq, o, e, semiglobal, pallas, monkeypatch):
+    from recgraph_tpu.ops import pallas_gap67_fill as pgf
+
+    monkeypatch.setattr(pgf, "INTERPRET", pallas)
+    if pallas:
+        monkeypatch.delenv("RECGRAPH_NO_PALLAS67", raising=False)
+    else:
+        monkeypatch.setenv("RECGRAPH_NO_PALLAS67", "1")
+    Dm, X, Y = pge.fill_gap_device(g, sm, seq, o, e, semiglobal)
+    return np.asarray(Dm), np.asarray(X), np.asarray(Y)
+
+
+@pytest.mark.parametrize("semiglobal", [False, True])
+def test_full_fill_kernel_bit_exact_example(example_paths, semiglobal,
+                                            monkeypatch):
+    """The full-Pallas fill (pallas_gap67_fill) vs the XLA scan."""
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    seqs = seqs[:8]
+    g = PathGraph.from_gfa(gfa.parse_gfa(graph_gfa), is_reversed=False)
+    sm = ScoreMatrix.create("none", 2, -4)
+    seq, L = encode_reads(seqs, pad_to=256)
+    ref = _planes_full(g, sm, seq, -4, -2, semiglobal, False, monkeypatch)
+    got = _planes_full(g, sm, seq, -4, -2, semiglobal, True, monkeypatch)
+    from recgraph_tpu.metrics import FALLBACKS
+    assert FALLBACKS.get("gap67_pallas_fill", 0) == 0
+    for a, b, name in zip(ref, got, "DXY"):
+        assert (a == b).all(), (
+            f"{name} differs: {np.argwhere(a != b)[:8]}"
+        )
+
+
+def test_full_fill_kernel_bit_exact_fuzz(monkeypatch):
+    from make_synthetic import make
+    import tempfile
+
+    sm = ScoreMatrix.create("none", 2, -4)
+    for seed in (7,):
+        with tempfile.TemporaryDirectory() as d:
+            make(d, n_back=60, n_reads=8, seed=seed, n_paths=6)
+            g = PathGraph.from_gfa(
+                gfa.parse_gfa(os.path.join(d, "graph.gfa")),
+                is_reversed=False,
+            )
+            seqs, _ = fasta.get_sequences(os.path.join(d, "reads.fa"))
+        seq, L = encode_reads(seqs[:8], pad_to=128)
+        ref = _planes_full(g, sm, seq, -3, -1, False, False, monkeypatch)
+        got = _planes_full(g, sm, seq, -3, -1, False, True, monkeypatch)
+        from recgraph_tpu.metrics import FALLBACKS
+        assert FALLBACKS.get("gap67_pallas_fill", 0) == 0
+        for a, b, name in zip(ref, got, "DXY"):
+            assert (a == b).all(), f"seed {seed} {name}"
