@@ -108,6 +108,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
         lefts_s,        # scratch [n_scr, Bt]
         rights_s,       # scratch [n_scr, Bt]
         bsp_s,          # scratch [n_scr, Bt]
+        lvals_s,        # scratch [n_scr, Bt] (row value at its left edge)
         sink_v,         # scratch [8 * ceil(S/8), Bt]
         sink_c,         # scratch [...same]
     ):
@@ -239,29 +240,28 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             d_pred = jnp.where(has_d, d_arg, minp)
 
             # ---- chain restart values ----
+            # the left-edge handling is extraction-free (the r4 edges
+            # ablation measured the old lane_at forms at 11.3 of
+            # 31.8 ms): l_fb == (gseq * (i + jcol)) AT the left lane,
+            # so it merges into A elementwise, and base0 reads the
+            # pred row's own left-edge value from the lvals register
+            # file instead of re-extracting it from the ring
             A = jnp.maximum(d_val, u_val)
-            if "edges" in strip:   # timing-only: skip edge extractions
-                is_left = jcol == left
-                l_fb = gnode_i * (i + left)
+            is_left = jcol == left
+            if "edges" in strip:   # timing-only: skip edge handling
+                lfb_full = gnode_i * (i + left)
                 A = jnp.where(in_band, A, NEGc)
             else:
-                gseq_left = lane_at(gseq, left)
-                l_fb = gseq_left * (i + left)
-                # min_pred is a node end for start rows (ring) and i-1
-                # for non-start rows (prev_s — not a ring slot in
-                # compact form)
-                minp_row = jnp.where(
-                    is_start,
-                    pred_row(minp, minp_rank_ref[ii]),
-                    jnp.where(minp == 0, row0_s[:, :], prev_s[:, :]),
+                lfb_full = gseq * (i + jcol)
+                base0 = (
+                    jnp.transpose(lvals_s[pl.ds(minp, 1), :]) + gnode_i
                 )
-                lefts_minp = jnp.transpose(lefts_s[pl.ds(minp, 1), :])
-                base0 = lane_at(minp_row, lefts_minp) + gnode_i
-                is_left = jcol == left
-                A_left = jnp.where(
-                    left == 0, base0, jnp.maximum(lane_at(A, left), l_fb)
+                A = jnp.where(
+                    is_left,
+                    jnp.where(left == 0, base0,
+                              jnp.maximum(A, lfb_full)),
+                    A,
                 )
-                A = jnp.where(is_left, A_left, A)
                 A = jnp.where(in_band, A, NEGc)
 
             Grow = jnp.where(i == 0, G_s[1], G)
@@ -290,7 +290,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
                 m_prev = jnp.where(jcol == 0, NEGc, m_prev)
                 l_val = m_prev + gseq
                 l_val = jnp.where(
-                    is_left, jnp.where(left == 0, NEGc, l_fb), l_val
+                    is_left, jnp.where(left == 0, NEGc, lfb_full), l_val
                 )
                 l_pred = jnp.where(jcol > left, i, minp)
                 d_ge_u = d_val >= u_val
@@ -341,6 +341,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             lefts_s[pl.ds(iw, 1), :] = jnp.transpose(left)
             rights_s[pl.ds(iw, 1), :] = jnp.transpose(right)
             bsp_s[pl.ds(iw, 1), :] = jnp.transpose(bsp_i)
+            lvals_s[pl.ds(iw, 1), :] = jnp.transpose(lane_at(m_row, left))
 
             # ---- sink capture + final selection (":397-405") ----
             so = sink_ord_ref[ii]
@@ -461,6 +462,7 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
                         pltpu.VMEM((Bt, Lpo), jnp.int32),
                         pltpu.VMEM((2, Bt, Lpo), jnp.int32),
                         pltpu.VMEM((4, Bt, Lpo), jnp.int32),
+                        pltpu.VMEM((n_scr, Bt), jnp.int32),
                         pltpu.VMEM((n_scr, Bt), jnp.int32),
                         pltpu.VMEM((n_scr, Bt), jnp.int32),
                         pltpu.VMEM((n_scr, Bt), jnp.int32),
