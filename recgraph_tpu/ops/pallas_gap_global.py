@@ -238,14 +238,17 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             x0_base = o + e * (minp + 1)
             x0_fb = 2 * o + e * (minp + 1) + e * left
             x_left = jnp.where(left == 0, x0_base, x0_fb)
-            c_left = lane_at(c, left)
-            m_left = jnp.where(left == 0, x_left, jnp.maximum(c_left, x_left))
-            m_left = jnp.where(i == 0, 0, m_left)
             x_left = jnp.where(i == 0, 0, x_left)
+            # m at the left lane, EXTRACTION-FREE (the r4 edges lesson):
+            # m_left = left==0 ? x_left : max(c@left, x_left), evaluated
+            # elementwise at the is_left lane (c@left IS c there); i==0
+            # zeroes it
+            m_left = jnp.where(left == 0, x_left, jnp.maximum(c, x_left))
+            m_left = jnp.where(i == 0, 0, m_left)
             # S[k] = c[k] + o - e*k (k > left); seed at k == left
             S = c + o - e * jcol
             S = jnp.where(
-                is_left, jnp.maximum(m_left + o, x_left) - e * left, S
+                is_left, jnp.maximum(m_left + o, x_left) - e * jcol, S
             )
             S = jnp.where(in_band, S, NEGc)
             Sx = _chain_radix(S, jcol, Lpo)
