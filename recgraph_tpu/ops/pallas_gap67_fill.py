@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -(1 << 28)
 OFF = 1 << 16
 ENC_MASK = (1 << 17) - 1
-VMEM_BUDGET = 13 * 1024 * 1024
 
 # row flag bits (host-packed into rowflags[n])
 F_EASY = 1
@@ -330,7 +329,7 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
                               jnp.where(~interior, x0, 0)))
 
             # ---- hard row (gap.rs:150-539) ----
-            if True:
+            if True:   # (kept even at MB == 1: re-alpha'd rows are hard)
 
                 @pl.when(is_hard)
                 def _():
