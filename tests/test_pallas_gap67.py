@@ -120,3 +120,43 @@ def test_full_fill_kernel_bit_exact_fuzz(monkeypatch):
         assert FALLBACKS.get("gap67_pallas_fill", 0) == 0
         for a, b, name in zip(ref, got, "DXY"):
             assert (a == b).all(), f"seed {seed} {name}"
+
+
+def test_full_fill_kernel_random_dags(monkeypatch):
+    """Random covered DAGs (multi-pred nodes, partial-coverage paths ->
+    re-alphas / multi-group rows), asymmetric HOXD70 scoring, varied
+    gap params, both modes: the full-Pallas fill stays bit-exact."""
+    import random
+
+    from recgraph_tpu.ops import pallas_gap67_fill as pgf
+    from test_fuzz_random_graphs import random_gfa, random_read
+
+    hox = ScoreMatrix.create("HOXD70.mtx", 2, -4)
+    none = ScoreMatrix.create("none", 2, -4)
+    done = 0
+    for seed in range(40):
+        rng = random.Random(1000 + seed)
+        gfa_obj = random_gfa(rng, n_nodes=16, n_paths=4, cover_all=True)
+        g = PathGraph.from_gfa(gfa_obj)
+        try:
+            pge.gap_meta(g)
+        except pge.RejectedGraph:
+            continue
+        reads = [random_read(rng, gfa_obj) for _ in range(8)]
+        seq, L = encode_reads(reads, pad_to=128)
+        sm, o, e = [(none, -4, -2), (hox, -200, -2), (none, -3, -1)][seed % 3]
+        semi = seed % 2 == 1
+        if not pgf.eligible(pge.gap_meta(g), 128, sm.table, o, e):
+            continue
+        ref = _planes_full(g, sm, seq, o, e, semi, False, monkeypatch)
+        got = _planes_full(g, sm, seq, o, e, semi, True, monkeypatch)
+        from recgraph_tpu.metrics import FALLBACKS
+        assert FALLBACKS.get("gap67_pallas_fill", 0) == 0
+        for a, b, name in zip(ref, got, "DXY"):
+            assert (a == b).all(), (
+                f"seed {seed} {name}: {np.argwhere(a != b)[:5]}"
+            )
+        done += 1
+        if done >= 10:
+            break
+    assert done >= 6, f"only {done} eligible fuzz graphs"
