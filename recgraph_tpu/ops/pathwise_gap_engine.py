@@ -853,6 +853,7 @@ def fill_gap_device(g: PathGraph, sm: ScoreMatrix, seq, o: int, e: int,
 
     if (
         not os.environ.get("RECGRAPH_NO_PALLAS67")
+        and not os.environ.get("RECGRAPH_NO_PALLAS67_FILL")
         and (jax.default_backend() == "tpu" or pgf.INTERPRET)
         and Lp % 128 == 0
         and pgf.eligible(meta, Lp, sm.table, o, e)
