@@ -58,7 +58,14 @@ def _chain_radix(x, jcol, Lp):
 
 
 def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
-                 ringc: int):
+                 ringc: int, strip: frozenset = frozenset()):
+    """strip: TIMING-ONLY ablations (results wrong) — 'chain' (skip the
+    in-row (max,+) solve), 'band' (fixed full band, no pred-bsp math),
+    'sweep' (skip the start-row pred sweep), 'dirs' (skip the three
+    direction-plane packings).  Used by tools/ablate_gap_global.py to
+    locate the kernel's floor (the global2/v4 strip playbook, PERF.md).
+    Unlike global2 there is no 'edges' knob: this kernel was written
+    extraction-free from the start (the r4 edges lesson)."""
     num_sinks = len(sink_rows)
     rdt = jnp.int16 if ring16 else jnp.int32
 
@@ -121,26 +128,34 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
 
             # ---- adaptive band (same as mode 0) ----
             is_start = (is_start_ref[ii] != 0) & (i > 0) & live
-            pb_prev = jnp.transpose(bsp_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
-            ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
-            me_s = jnp.full((Bt, 1), NEG, jnp.int32)
-            for p in range(Pm):
-                pidx = pred_idx_ref[ii * Pm + p]
-                ok = (pidx >= 0) & is_start
-                pb = jnp.transpose(bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :])
-                ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
-                me_s = jnp.where(ok & (pb > me_s), pb, me_s)
-            ms = jnp.where(is_start, ms_s, pb_prev) + 1
-            me = jnp.where(is_start, me_s, pb_prev) + 1
-            ms = jnp.where(i == 0, 0, ms)
-            me = jnp.where(i == 0, 0, me)
-            r_i = r_ref[ii]
-            left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
-            right = jnp.where(
-                L > r_i,
-                jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
-                jnp.minimum(L, me + bta),
-            )
+            if "band" in strip:   # timing-only: fixed full band
+                left = jnp.zeros((Bt, 1), jnp.int32)
+                right = L
+            else:
+                pb_prev = jnp.transpose(
+                    bsp_s[pl.ds(jnp.maximum(i - 1, 0), 1), :]
+                )
+                ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
+                me_s = jnp.full((Bt, 1), NEG, jnp.int32)
+                for p in range(Pm):
+                    pidx = pred_idx_ref[ii * Pm + p]
+                    ok = (pidx >= 0) & is_start
+                    pb = jnp.transpose(
+                        bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
+                    )
+                    ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
+                    me_s = jnp.where(ok & (pb > me_s), pb, me_s)
+                ms = jnp.where(is_start, ms_s, pb_prev) + 1
+                me = jnp.where(is_start, me_s, pb_prev) + 1
+                ms = jnp.where(i == 0, 0, ms)
+                me = jnp.where(i == 0, 0, me)
+                r_i = r_ref[ii]
+                left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
+                right = jnp.where(
+                    L > r_i,
+                    jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
+                    jnp.minimum(L, me + bta),
+                )
             in_band = (left <= jcol) & (jcol < right)
             is_left = jcol == left
 
@@ -167,7 +182,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
                 py = jnp.where(pidx == 0, row0, py)
                 return pm, py
 
-            @pl.when(is_start)
+            @pl.when(is_start & ("sweep" not in strip))
             def _():
                 um_b = jnp.full((Bt, Lpo), NEG, jnp.int32)
                 um_i = jnp.zeros((Bt, Lpo), jnp.int32)
@@ -251,7 +266,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
                 is_left, jnp.maximum(m_left + o, x_left) - e * jcol, S
             )
             S = jnp.where(in_band, S, NEGc)
-            Sx = _chain_radix(S, jcol, Lpo)
+            Sx = S if "chain" in strip else _chain_radix(S, jcol, Lpo)
             # x[j] needs the chain strictly left of j
             x_row = e * jcol + jnp.where(
                 jcol == 0, NEGc, pltpu.roll(Sx, 1, 1)
@@ -264,56 +279,63 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             m_row = jnp.where(in_band, m_row, NEGc)
             y_row = jnp.where(in_band, y_row, NEGc)
 
-            # path_x plane (":99-120")
-            x_prev = pltpu.roll(x_row, 1, 1)
-            x_prev = jnp.where(jcol == 0, NEGc, x_prev)
-            m_prev = pltpu.roll(m_row, 1, 1)
-            m_prev = jnp.where(jcol == 0, NEGc, m_prev)
-            stay_x = (x_prev > m_prev + o) & ~is_left
-            px_code = jnp.where(stay_x, X_DIR, O)
-            px_pred = jnp.where(stay_x, i, 0)
-            l_pred = jnp.where(is_left, minp, i)
+            if "dirs" in strip:   # timing-only: skip direction packing
+                packed_ref[r] = m_row
+                packedx_ref[r] = x_row
+                packedy_ref[r] = y_row
+            else:
+                # path_x plane (":99-120")
+                x_prev = pltpu.roll(x_row, 1, 1)
+                x_prev = jnp.where(jcol == 0, NEGc, x_prev)
+                m_prev = pltpu.roll(m_row, 1, 1)
+                m_prev = jnp.where(jcol == 0, NEGc, m_prev)
+                stay_x = (x_prev > m_prev + o) & ~is_left
+                px_code = jnp.where(stay_x, X_DIR, O)
+                px_pred = jnp.where(stay_x, i, 0)
+                l_pred = jnp.where(is_left, minp, i)
 
-            # ---- M directions: the mode-2 cascade (":143-195") ----
-            l_val = x_row
-            u_val = y_row
-            d_lt_l = d_val < l_val
-            l_lt_u = l_val < u_val
-            d_lt_u = d_val < u_val
-            dir_code_d = jnp.where(
-                d_lt_l,
-                jnp.where(
-                    l_lt_u,
-                    jnp.where(u_pred == 0, LOW_U, U_DIR),
-                    L_DIR,
-                ),
-                jnp.where(d_lt_u, U_DIR, jnp.where(match, D, LOW_D)),
-            )
-            pred_d = jnp.where(
-                d_lt_l,
-                jnp.where(l_lt_u, u_pred, l_pred),
-                jnp.where(d_lt_u, u_pred, d_idx),
-            )
-            dir_code_nd = jnp.where(l_lt_u, U_DIR, L_DIR)
-            pred_nd = jnp.where(l_lt_u, u_pred, l_pred)
-            dcode = jnp.where(has_d, dir_code_d, dir_code_nd)
-            pred_sel = jnp.where(has_d, pred_d, pred_nd)
-            is_base = is_left & (left == 0) & (i > 0)
-            dcode = jnp.where(is_base, U_DIR, dcode)
-            pred_sel = jnp.where(is_base, minp, pred_sel)
-            dcode = jnp.where(i == 0, jnp.where(jcol == 0, O, L_DIR), dcode)
-            pred_sel = jnp.where(i == 0, 0, pred_sel)
-            pk = jnp.where(in_band, pred_sel * 16 + dcode, 0)
-            pk = jnp.where(jcol == Lb, left, pk)
-            pk = jnp.where(jcol == Lb + 1, right, pk)
-            pk = jnp.where(live, pk, 0)
-            pkx = jnp.where(in_band, px_pred * 16 + px_code, 0)
-            pky = jnp.where(in_band, py_pred * 16 + py_code, 0)
-            pkx = jnp.where((i == 0) | ~live, 0, pkx)
-            pky = jnp.where((i == 0) | ~live, 0, pky)
-            packed_ref[r] = pk
-            packedx_ref[r] = pkx
-            packedy_ref[r] = pky
+                # ---- M directions: the mode-2 cascade (":143-195") ----
+                l_val = x_row
+                u_val = y_row
+                d_lt_l = d_val < l_val
+                l_lt_u = l_val < u_val
+                d_lt_u = d_val < u_val
+                dir_code_d = jnp.where(
+                    d_lt_l,
+                    jnp.where(
+                        l_lt_u,
+                        jnp.where(u_pred == 0, LOW_U, U_DIR),
+                        L_DIR,
+                    ),
+                    jnp.where(d_lt_u, U_DIR, jnp.where(match, D, LOW_D)),
+                )
+                pred_d = jnp.where(
+                    d_lt_l,
+                    jnp.where(l_lt_u, u_pred, l_pred),
+                    jnp.where(d_lt_u, u_pred, d_idx),
+                )
+                dir_code_nd = jnp.where(l_lt_u, U_DIR, L_DIR)
+                pred_nd = jnp.where(l_lt_u, u_pred, l_pred)
+                dcode = jnp.where(has_d, dir_code_d, dir_code_nd)
+                pred_sel = jnp.where(has_d, pred_d, pred_nd)
+                is_base = is_left & (left == 0) & (i > 0)
+                dcode = jnp.where(is_base, U_DIR, dcode)
+                pred_sel = jnp.where(is_base, minp, pred_sel)
+                dcode = jnp.where(
+                    i == 0, jnp.where(jcol == 0, O, L_DIR), dcode
+                )
+                pred_sel = jnp.where(i == 0, 0, pred_sel)
+                pk = jnp.where(in_band, pred_sel * 16 + dcode, 0)
+                pk = jnp.where(jcol == Lb, left, pk)
+                pk = jnp.where(jcol == Lb + 1, right, pk)
+                pk = jnp.where(live, pk, 0)
+                pkx = jnp.where(in_band, px_pred * 16 + px_code, 0)
+                pky = jnp.where(in_band, py_pred * 16 + py_code, 0)
+                pkx = jnp.where((i == 0) | ~live, 0, pkx)
+                pky = jnp.where((i == 0) | ~live, 0, pky)
+                packed_ref[r] = pk
+                packedx_ref[r] = pkx
+                packedy_ref[r] = pky
 
             masked = jnp.where(in_band, m_row, NEGc)
             rmax = jnp.max(masked, axis=1, keepdims=True)
@@ -391,7 +413,8 @@ def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 2,
 
 
 def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=2,
-                       interpret=False, ring16=None):
+                       interpret=False, ring16=None,
+                       strip: frozenset = frozenset()):
     """Pallas mode-2 fill; same outputs as `_fill_gap_global[:8]` with
     band bounds in packed lanes Lp/Lp+1 and [n, B, Lpo] plane layout.
 
@@ -426,10 +449,10 @@ def fill_gap_global_v2(dg, table, seq, L, bta, o, e, Bt=None, R=2,
     sink_rows = dg.sink_rows
     sink_pad = (len(sink_rows) + 7) // 8 * 8
 
-    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc)
+    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc, strip)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc)
+        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc, strip)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
