@@ -16,11 +16,13 @@ kernel runs the ENTIRE fill in one pallas_call:
   pathwise_gap_engine.easy_row — alpha-lane (max,+) radix-4 chains,
   packed (column << 17 | value) replay for the mask lanes (requires
   the caller's ``fits`` gate);
-- hard rows run the literal per-column program (gap.rs:150-539) with
-  the per-block staging vectorised over columns into [MB, Bt, Lp]
-  strips and the inherently-sequential part as a fori_loop over
-  columns on an in-register [Bt, P] state — the same owner-collapsed
-  program as ops/pallas_gap67_hardrow, lane-transposed;
+- hard rows run the literal per-column program (gap.rs:150-539): the
+  per-block staging is vectorised over columns in lane layout, then
+  transposed into CT-column [*, P, Bt]/[*, MB, Bt] tiles so the
+  inherently-sequential fori_loop runs on an in-register [P, Bt]
+  state with leading-axis input slices and output stores — the exact
+  ops/pallas_gap67_hardrow layout (its lane-masked [Bt, P]
+  predecessor measured ~33 us/col; this runs <1 us/col);
 - the multi-alpha insertion-order fixups (first-column and per-column)
   run exactly as the scalar spec (gap.rs:133-147, 521-537).
 
@@ -46,6 +48,12 @@ F_EASY = 1
 F_START = 2
 F_EDELTA = 4
 F_FCAP = 8
+
+# columns per transposed-buffer tile in the hard-row loop: the
+# [*, P, Bt] buffers lane-pad Bt to 128, so full-Lp versions cost
+# Lp*P*128*4 bytes each (the scoped-VMEM OOM); CT-column tiles bound
+# them at CT*P*128*4 while the column chain carries across tiles.
+CT = 64
 
 # block flag bits (bflags[n, MB])
 BF_VALID = 1
@@ -76,7 +84,14 @@ def _chain_radix4(x, jcol, Lp, op="max"):
     return x
 
 
-def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
+def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
+                 strip: frozenset = frozenset()):
+    """strip: DIAGNOSTIC-ONLY section stubs (results wrong) — 'hard'
+    (skip the hard-row branch), 'easy' (skip the easy-row program),
+    'x0' (zero first column), 'dma' (skip pred-row DMA fetches),
+    'init' (skip the step-0 boundary writes), 'commit' (skip the HBM
+    row writes), 'colloop' (skip the hard fori_loop).  Used to bisect
+    Mosaic compile failures and locate the kernel's floor."""
     def kernel(
         # ---- scalar prefetch (SMEM) ----
         rowflags_ref,   # i32[n_pad]
@@ -111,7 +126,9 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
         ycs, yfx, dfds,        # [Bt, P, Lp] hard staging
         x0buf,                 # [Bt, P, Lp]
         outD, outX, outY,      # [Bt, P, Lp] write staging
-        strips,                # [2, MB, Bt, Lp] hard strips (U, Dc)
+        uT, dcT,               # [CT, MB, Bt] per-column block strips
+        dfdT, ypreT,           # [CT, P, Bt]  per-column owner planes
+        xoutT, doutT,          # [CT, P, Bt]  column-loop outputs
         rsem,                  # DMA sems (4,)
         wsem,                  # DMA sems (3,)
     ):
@@ -121,11 +138,9 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
         o = scal_ref[0]
         e = scal_ref[1]
         nlast = scal_ref[2]    # n - 2: the last real row
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lp), 1)
         jc1 = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, Lp), 2)
         jcol3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P, Lp), 2)
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P, Lp), 1)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P), 1)
         j0 = jcol3 == 0
 
         def subl(v, a):
@@ -153,22 +168,27 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
             prevX[:, :, :] = zz
             outX[:, :, :] = zz
             # write rows 0 and n-1 (X row 0 is zeros; row n-1 all zeros)
-            for dst, src in ((dm_any, row0), (y_any, row0), (x_any, outX)):
-                cp = pltpu.make_async_copy(
-                    src, dst.at[0, pl.ds(bo, Bt)], wsem.at[0]
-                )
-                cp.start()
-                cp.wait()
-            for dst in (dm_any, x_any, y_any):
-                cp = pltpu.make_async_copy(
-                    outX, dst.at[nlast + 1, pl.ds(bo, Bt)], wsem.at[0]
-                )
-                cp.start()
-                cp.wait()
+            if "init" not in strip:
+                for dst, src in ((dm_any, row0), (y_any, row0),
+                                 (x_any, outX)):
+                    cp = pltpu.make_async_copy(
+                        src, dst.at[0, pl.ds(bo, Bt)], wsem.at[0]
+                    )
+                    cp.start()
+                    cp.wait()
+                for dst in (dm_any, x_any, y_any):
+                    cp = pltpu.make_async_copy(
+                        outX, dst.at[nlast + 1, pl.ds(bo, Bt)], wsem.at[0]
+                    )
+                    cp.start()
+                    cp.wait()
 
         def fetch(plane_any, buf, pred, sem):
             """DMA row ``pred`` of an output plane into ``buf`` (row 0
             is served from scratch by the callers)."""
+            if "dma" in strip:
+                return
+
             @pl.when(pred > 0)
             def _():
                 cp = pltpu.make_async_copy(
@@ -192,7 +212,9 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
             sub3 = sub_ref[code_i][:, None, :]               # [Bt, 1, Lp]
 
             # ---- first column -> x0buf (gap.rs:35-147) ----
-            if semiglobal:
+            if "x0" in strip:
+                x0buf[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
+            elif semiglobal:
                 x0buf[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
             else:
 
@@ -262,7 +284,7 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
                                      prevY[:, :, :]))
 
             # ---- easy row (pathwise_gap_engine.easy_row) ----
-            @pl.when(~is_hard)
+            @pl.when(~is_hard & ("easy" not in strip))
             def _():
                 ap = eap_ref[ii]
                 d32 = jnp.where((flags & F_EDELTA) != 0, 1, 0)
@@ -329,15 +351,20 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
                               jnp.where(~interior, x0, 0)))
 
             # ---- hard row (gap.rs:150-539) ----
-            if True:   # (kept even at MB == 1: re-alpha'd rows are hard)
+            if "hard" not in strip:   # (kept even at MB == 1:
+                # re-alpha'd rows are hard)
 
                 @pl.when(is_hard)
                 def _():
                     own1 = bownid_ref[r][None, :, None]      # [1, P, 1]
                     ycs[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
                     dfds[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
+                    iota_mb = jax.lax.broadcasted_iota(
+                        jnp.int32, (Lp, MB, Bt), 1)
+                    uTv = jnp.zeros((Lp, MB, Bt), jnp.int32)
+                    dcTv = jnp.zeros((Lp, MB, Bt), jnp.int32)
                     # per-block staging: U/y pass + D candidates
-                    for s in range(MB):
+                    for s in range(MB if "stage" not in strip else 0):
                         bf = bflags_ref[ii * MB + s]
                         valid = (bf & BF_VALID) != 0
                         pred_s = jnp.where(valid,
@@ -358,32 +385,49 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
                         u_y = yp_ap + d_s * yp_tb + e
                         u_dpm = dp_ap + d_s * dp_tb + o + e
                         usel = u_dpm >= u_y
-                        case1 = (bf & BF_CASE1) != 0
-                        mb = bmask_ref[r, s][None, :, None] != 0
-                        mq = bmaskq_ref[r, s][None, :, None] != 0
-                        elsemask = jnp.where(case1, mq, mb)
-                        yc = ycs[:, :, :]
-                        yc = jnp.where(valid & usel & mb,
-                                       Dp_s - d_s * dp_tb, yc)
-                        yc = jnp.where(valid & ~usel & elsemask,
-                                       Yp_s - d_s * yp_tb, yc)
                         u = jnp.where(usel, u_dpm, u_y)
-                        yc = jnp.where(valid & (lane3 == tb_s), u, yc)
-                        ycs[:, :, :] = yc
-                        # D candidates read pred column j-1
+                        if "ystage" not in strip:
+                            case1 = (bf & BF_CASE1) != 0
+                            mb = bmask_ref[r, s][None, :, None] != 0
+                            # select the INT masks, then compare: a
+                            # select between two i1 vectors crashes the
+                            # Mosaic compiler (the known i1-select cliff
+                            # — interpret does not catch it)
+                            elsemask = jnp.where(
+                                case1, bmaskq_ref[r, s], bmask_ref[r, s]
+                            )[None, :, None] != 0
+                            yc = ycs[:, :, :]
+                            yc = jnp.where(valid & usel & mb,
+                                           Dp_s - d_s * dp_tb, yc)
+                            yc = jnp.where(valid & ~usel & elsemask,
+                                           Yp_s - d_s * yp_tb, yc)
+                            yc = jnp.where(valid & (lane3 == tb_s), u, yc)
+                            ycs[:, :, :] = yc
+                        # D candidates read pred column j-1; the u/Dc
+                        # strips transpose to [Lp, MB, Bt] (one 2-D
+                        # transpose per block per row — the column loop
+                        # then reads leading-axis slices)
                         Dp_sh = pltpu.roll(Dp_s, 1, 2)
                         dsh_tb = pltpu.roll(dp_tb, 1, 2)
                         dsh_ap = pltpu.roll(dp_ap, 1, 2)
-                        strips[0, s] = u[:, 0, :]
-                        strips[1, s] = (dsh_ap + d_s * dsh_tb + sub3)[:, 0, :]
-                        dfd_s = Dp_sh - d_s * dsh_tb
-                        dfds[:, :, :] = jnp.where(
-                            valid & (own1 == s), dfd_s, dfds[:, :, :]
-                        )
+                        if "stripswr" not in strip:
+                            uTs = jnp.transpose(u[:, 0, :])      # [Lp,Bt]
+                            dcTs = jnp.transpose(
+                                (dsh_ap + d_s * dsh_tb + sub3)[:, 0, :]
+                            )
+                            uTv = jnp.where(
+                                iota_mb == s, uTs[:, None, :], uTv)
+                            dcTv = jnp.where(
+                                iota_mb == s, dcTs[:, None, :], dcTv)
+                        if "dstage" not in strip:
+                            dfd_s = Dp_sh - d_s * dsh_tb
+                            dfds[:, :, :] = jnp.where(
+                                valid & (own1 == s), dfd_s, dfds[:, :, :]
+                            )
                     # y multi-alpha fixup (gap.rs:521-537); the D select
                     # reads the PRE-fixup y (ycs), as the scalar does
                     y_f = ycs[:, :, :]
-                    for s in range(MB):
+                    for s in range(MB if "yfix" not in strip else 0):
                         bf = bflags_ref[ii * MB + s]
                         tb_s = btb_ref[ii * MB + s]
                         fire = ((bf & BF_VALID) != 0) & (
@@ -394,81 +438,82 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
                         y_f = jnp.where(fire & fx, y_f + va, y_f)
                     yfx[:, :, :] = y_f
 
-                    # ---- column chain on the in-register [Bt, P] state
-                    ownid2 = bownid_ref[r][None, :]          # [1, P]
-                    hot2 = bhot_ref[r][None, :] != 0
-                    hotl2 = bhotl_ref[r][None, :] != 0
-                    ai_hot2 = lane2 == ai
+                    # ---- column chain on the in-register [P, Bt] state
+                    # (paths on SUBLANES, reads on lanes — the
+                    # pallas_gap67_hardrow layout: per-column inputs are
+                    # leading-axis slices of the transposed staging, all
+                    # extracts are sublane one-hot sums, outputs are
+                    # leading-axis stores.  The first version kept P on
+                    # lanes and paid ~33 us/col in lane-masked extracts
+                    # + full-tile RMW — 290 of the 405 ms fill.)
+                    sub_i = jax.lax.broadcasted_iota(jnp.int32, (P, Bt), 0)
+                    ai_hotT = sub_i == ai
+                    ownT = jnp.transpose(bownid_ref[r : r + 1, :])  # [P,1]
+                    hotT = jnp.transpose(bhot_ref[r : r + 1, :]) != 0
+                    hotlT = jnp.transpose(bhotl_ref[r : r + 1, :]) != 0
                     x0c = jnp.max(jnp.where(j0, x0, NEG), 2)  # [Bt, P]
-                    outX[:, :, :] = jnp.where(j0, x0, 0)
-                    outD[:, :, :] = jnp.where(j0, x0, 0)
+                    x0t = jnp.transpose(x0c)                  # [P, Bt]
 
                     def col(jj, carry):
-                        x_row, d_row = carry                  # [Bt, P]
-                        x_ai = jnp.max(jnp.where(ai_hot2, x_row, NEG), 1,
+                        x_row, d_row = carry                  # [P, Bt]
+                        u_j = uT[jj]                          # [MB, Bt]
+                        dc_j = dcT[jj]
+                        dfd_j = dfdT[jj]                      # [P, Bt]
+                        ypre_j = ypreT[jj]
+                        x_ai = jnp.sum(jnp.where(ai_hotT, x_row, 0), 0,
                                        keepdims=True)
-                        d_ai = jnp.max(jnp.where(ai_hot2, d_row, NEG), 1,
+                        d_ai = jnp.sum(jnp.where(ai_hotT, d_row, 0), 0,
                                        keepdims=True)
-                        dfd_j = jnp.max(
-                            jnp.where(jcol3 == jj, dfds[:, :, :], NEG), 2
-                        )
-                        ypre_j = jnp.max(
-                            jnp.where(jcol3 == jj, ycs[:, :, :], NEG), 2
-                        )
                         x_new = jnp.zeros_like(x_row)
                         stats = []
                         for s in range(MB):
                             tb_s = btb_ref[ii * MB + s]
                             nd_s = jnp.where(tb_s != ai, 1, 0)
-                            tb_hot = lane2 == tb_s
-                            x_tb = jnp.max(jnp.where(tb_hot, x_row, NEG),
-                                           1, keepdims=True)
-                            d_tb = jnp.max(jnp.where(tb_hot, d_row, NEG),
-                                           1, keepdims=True)
+                            tb_hot = sub_i == tb_s
+                            x_tb = jnp.sum(jnp.where(tb_hot, x_row, 0), 0,
+                                           keepdims=True)
+                            d_tb = jnp.sum(jnp.where(tb_hot, d_row, 0), 0,
+                                           keepdims=True)
                             l_x = x_tb + nd_s * x_ai + e
                             l_dpm = d_tb + nd_s * d_ai + o + e
                             lsel = l_dpm >= l_x
-                            l_s = jnp.where(lsel, l_dpm, l_x)
-                            u_s = jnp.max(
-                                jnp.where(jcol == jj, strips[0, s], NEG),
-                                1, keepdims=True)
-                            dc_s = jnp.max(
-                                jnp.where(jcol == jj, strips[1, s], NEG),
-                                1, keepdims=True)
+                            l_s = jnp.where(lsel, l_dpm, l_x)  # [1, Bt]
+                            u_s = u_j[s : s + 1]
+                            dc_s = dc_j[s : s + 1]
                             mx_s = jnp.maximum(jnp.maximum(dc_s, u_s), l_s)
-                            stats.append((lsel, mx_s, u_s, dc_s, l_s))
-                            own_s = ownid2 == s
+                            stats.append((lsel, mx_s, u_s, dc_s))
+                            own_s = ownT == s
                             xm = jnp.where(lsel, d_row - nd_s * d_tb,
                                            x_row - nd_s * x_tb)
                             x_new = jnp.where(
-                                own_s, jnp.where(hot2, l_s, xm), x_new)
+                                own_s, jnp.where(hotT, l_s, xm), x_new)
                         d_new = jnp.zeros_like(d_row)
                         for s in range(MB):
-                            lsel, mx_s, u_s, dc_s, l_s = stats[s]
+                            lsel, mx_s, u_s, dc_s = stats[s]
                             is_d = mx_s == dc_s
                             is_u = jnp.logical_and(
                                 jnp.logical_not(is_d), mx_s == u_s)
                             dm = jnp.where(is_d, dfd_j,
                                            jnp.where(is_u, ypre_j, x_new))
-                            own_s = ownid2 == s
+                            own_s = ownT == s
                             d_new = jnp.where(
-                                own_s, jnp.where(hot2, mx_s, dm), d_new)
+                                own_s, jnp.where(hotT, mx_s, dm), d_new)
                         # per-column multi-alpha fixup
-                        d_ai2 = jnp.max(jnp.where(ai_hot2, d_new, NEG), 1,
+                        d_ai2 = jnp.sum(jnp.where(ai_hotT, d_new, 0), 0,
                                         keepdims=True)
-                        x_ai2 = jnp.max(jnp.where(ai_hot2, x_new, NEG), 1,
+                        x_ai2 = jnp.sum(jnp.where(ai_hotT, x_new, 0), 0,
                                         keepdims=True)
                         va0d, va0x = [], []
                         va_adj_d = jnp.zeros_like(d_ai2)
                         va_adj_x = jnp.zeros_like(x_ai2)
                         for s in range(MB):
                             bf = bflags_ref[ii * MB + s]
-                            tb_hot = lane2 == btb_ref[ii * MB + s]
-                            m_tb_d = jnp.max(
-                                jnp.where(tb_hot, d_new, NEG), 1,
+                            tb_hot = sub_i == btb_ref[ii * MB + s]
+                            m_tb_d = jnp.sum(
+                                jnp.where(tb_hot, d_new, 0), 0,
                                 keepdims=True)
-                            m_tb_x = jnp.max(
-                                jnp.where(tb_hot, x_new, NEG), 1,
+                            m_tb_x = jnp.sum(
+                                jnp.where(tb_hot, x_new, 0), 0,
                                 keepdims=True)
                             isa_s = jnp.where((bf & BF_ISA) != 0, 1, 0)
                             v0d = m_tb_d - d_ai2
@@ -487,26 +532,42 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
                             fire_s = jnp.where((bf & BF_FIRE) != 0, 1, 0)
                             vad = (va0d[s] - after_s * va_adj_d) * fire_s
                             vax = (va0x[s] - after_s * va_adj_x) * fire_s
-                            in_fix = bfix_ref[r, s][None, :] != 0
+                            in_fix = jnp.transpose(
+                                bfix_ref[r, s : s + 1, :]) != 0
                             adds_d = jnp.where(in_fix, adds_d + vad,
                                                adds_d)
                             adds_x = jnp.where(in_fix, adds_x + vax,
                                                adds_x)
-                            tb_hot = lane2 == btb_ref[ii * MB + s]
+                            tb_hot = sub_i == btb_ref[ii * MB + s]
                             hotv_d = jnp.where(tb_hot, hotv_d + vad,
                                                hotv_d)
                             hotv_x = jnp.where(tb_hot, hotv_x + vax,
                                                hotv_x)
-                        d_fin = jnp.where(hotl2, hotv_d, d_new + adds_d)
-                        x_fin = jnp.where(hotl2, hotv_x, x_new + adds_x)
-                        here = jcol3 == jj
-                        outX[:, :, :] = jnp.where(
-                            here, x_fin[:, :, None], outX[:, :, :])
-                        outD[:, :, :] = jnp.where(
-                            here, d_fin[:, :, None], outD[:, :, :])
+                        d_fin = jnp.where(hotlT, hotv_d, d_new + adds_d)
+                        x_fin = jnp.where(hotlT, hotv_x, x_new + adds_x)
+                        xoutT[jj] = x_fin
+                        doutT[jj] = d_fin
                         return x_fin, d_fin
 
-                    jax.lax.fori_loop(1, Lp, col, (x0c, x0c))
+                    carry = (x0t, x0t)
+                    for ct in range(Lp // CT):
+                        c0 = ct * CT
+                        uT[:, :, :] = uTv[c0 : c0 + CT]
+                        dcT[:, :, :] = dcTv[c0 : c0 + CT]
+                        dfdT[:, :, :] = jnp.transpose(
+                            dfds[:, :, c0 : c0 + CT], (2, 1, 0))
+                        ypreT[:, :, :] = jnp.transpose(
+                            ycs[:, :, c0 : c0 + CT], (2, 1, 0))
+                        if ct == 0:
+                            xoutT[0] = x0t
+                            doutT[0] = x0t
+                        if "colloop" not in strip:
+                            carry = jax.lax.fori_loop(
+                                1 if ct == 0 else 0, CT, col, carry)
+                        outX[:, :, c0 : c0 + CT] = jnp.transpose(
+                            xoutT[:, :, :], (2, 1, 0))
+                        outD[:, :, c0 : c0 + CT] = jnp.transpose(
+                            doutT[:, :, :], (2, 1, 0))
                     outY[:, :, :] = jnp.where(j0, 0, yfx[:, :, :])
 
             # ---- commit: carry scratch + HBM writes ----
@@ -519,14 +580,15 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool):
                 prevD[:, :, :] = Drow
                 prevX[:, :, :] = Xrow
                 prevY[:, :, :] = Yrow
-                for k, (dst, src) in enumerate(
-                    ((dm_any, outD), (x_any, outX), (y_any, outY))
-                ):
-                    cp = pltpu.make_async_copy(
-                        src, dst.at[ii, pl.ds(bo, Bt)], wsem.at[k]
-                    )
-                    cp.start()
-                    cp.wait()
+                if "commit" not in strip:
+                    for k, (dst, src) in enumerate(
+                        ((dm_any, outD), (x_any, outX), (y_any, outY))
+                    ):
+                        cp = pltpu.make_async_copy(
+                            src, dst.at[ii, pl.ds(bo, Bt)], wsem.at[k]
+                        )
+                        cp.start()
+                        cp.wait()
 
     return kernel
 
@@ -535,7 +597,7 @@ _cache: dict = {}
 
 
 def fill_gap67_pallas(xs, table, seq, o, e, semiglobal, interpret=False,
-                      Bt=None):
+                      Bt=None, R=8, strip: frozenset = frozenset()):
     """Run the full fill; ``xs`` is the host-packed metadata from
     :func:`pack_meta`.  Returns (Dm, X, Y) int32[n, B, P, Lp]."""
     (n, P, MB, rowflags, pr, eap, fap, alphas, codes, bpred, bap, btb,
@@ -557,21 +619,30 @@ def fill_gap67_pallas(xs, table, seq, o, e, semiglobal, interpret=False,
     bmask, bmaskq, bfix = (padp(a) for a in (bmask, bmaskq, bfix))
     bownid = padp(bownid, fill=-1)
     if Bt is None:
+        # Scoped-VMEM budget (the 16 MB limit the compiler enforces):
+        # 14 [Bt, P, Lp] scratch planes + the double-buffered sub table
+        # + the transposed column-tile buffers, whose minor axis is Bt
+        # and therefore lane-pads to 128 (Bt-independent cost).
+        mb8 = -(-MB // 8) * 8
+        tbytes = (2 * CT * mb8 + 4 * CT * P) * 128 * 4
         Bt = 32
+        while Bt > 8 and (
+            4 * Bt * Lp * (14 * P + 14) + tbytes > 12 * 1024 * 1024
+        ):
+            Bt //= 2
     Bt = min(Bt, -(-B0 // 8) * 8)
     B = -(-B0 // Bt) * Bt
     if B != B0:
         seq = jnp.concatenate(
             [seq, jnp.broadcast_to(seq[:1], (B - B0, Lp))], axis=0
         )
-    R = 8
     steps = -(-n // R)
     n_pad = steps * R
 
-    key = (n, P, MB, B, Lp, Bt, R, bool(semiglobal), interpret)
+    key = (n, P, MB, B, Lp, Bt, R, bool(semiglobal), interpret, strip)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(R, MB, Bt, P, bool(semiglobal))
+        kernel = _make_kernel(R, MB, Bt, P, bool(semiglobal), strip)
         grid = (B // Bt, steps)
         bspec = lambda shape: pl.BlockSpec(
             shape, lambda b, s, *_: (s,) + (0,) * (len(shape) - 1),
@@ -602,7 +673,12 @@ def fill_gap67_pallas(xs, table, seq, o, e, semiglobal, interpret=False,
                     pltpu.VMEM((Bt, P, Lp), jnp.int32)
                     for _ in range(14)
                 ] + [
-                    pltpu.VMEM((2, MB, Bt, Lp), jnp.int32),
+                    pltpu.VMEM((CT, MB, Bt), jnp.int32),   # uT
+                    pltpu.VMEM((CT, MB, Bt), jnp.int32),   # dcT
+                    pltpu.VMEM((CT, P, Bt), jnp.int32),    # dfdT
+                    pltpu.VMEM((CT, P, Bt), jnp.int32),    # ypreT
+                    pltpu.VMEM((CT, P, Bt), jnp.int32),    # xoutT
+                    pltpu.VMEM((CT, P, Bt), jnp.int32),    # doutT
                     pltpu.SemaphoreType.DMA((4,)),
                     pltpu.SemaphoreType.DMA((3,)),
                 ],
