@@ -183,13 +183,17 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                     cp.start()
                     cp.wait()
 
-        def fetch(plane_any, buf, pred, sem):
-            """DMA row ``pred`` of an output plane into ``buf`` (row 0
-            is served from scratch by the callers)."""
+        def fetch(plane_any, buf, pred, skiprow, sem):
+            """DMA row ``pred`` of an output plane into ``buf``.  Row 0
+            is served from scratch by the callers, and row ``skiprow``
+            (the immediately previous row, whose commit copy may still
+            be in flight under the deferred-wait scheme) from the
+            prev* scratch — so no fetch ever reads an uncommitted HBM
+            row."""
             if "dma" in strip:
                 return
 
-            @pl.when(pred > 0)
+            @pl.when((pred > 0) & (pred != skiprow))
             def _():
                 cp = pltpu.make_async_copy(
                     plane_any.at[pred, pl.ds(bo, Bt)], buf, rsem.at[sem]
@@ -240,11 +244,13 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                         bf = bflags_ref[ii * MB + s]
                         valid = ((bf & BF_VALID) != 0) & live
                         pred_s = jnp.where(valid, bpred_ref[ii * MB + s], 0)
-                        fetch(x_any, predX, pred_s, 3)
+                        fetch(x_any, predX, pred_s, ii - 1, 3)
                         Xp0b = lane0b(
                             jnp.where(pred_s == 0,
                                       jnp.zeros((Bt, P, Lp), jnp.int32),
-                                      predX[:, :, :])
+                                      jnp.where(pred_s == ii - 1,
+                                                prevX[:, :, :],
+                                                predX[:, :, :]))
                         )
                         tb_s = btb_ref[ii * MB + s]
                         ap_s = bap_ref[ii * MB + s]
@@ -271,20 +277,38 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
 
             x0 = x0buf[:, :, :]
 
-            # ---- easy pred planes (start rows DMA; others use prev) ----
+            # ---- easy pred planes (start rows DMA; others use prev;
+            # pred == i-1 reads prev* — see fetch) ----
             pr_i = jnp.where(is_start & ~is_hard & live, pr_ref[ii], 0)
-            fetch(dm_any, predD, pr_i, 0)
-            fetch(y_any, predY, pr_i, 1)
-            use_pred = is_start & (pr_i > 0)
-            pD = jnp.where(use_pred, predD[:, :, :],
-                           jnp.where(is_start, row0[:, :, :],
-                                     prevD[:, :, :]))
-            pY = jnp.where(use_pred, predY[:, :, :],
-                           jnp.where(is_start, row0[:, :, :],
-                                     prevY[:, :, :]))
+            fetch(dm_any, predD, pr_i, ii - 1, 0)
+            fetch(y_any, predY, pr_i, ii - 1, 1)
+            use_hbm = is_start & (pr_i > 0) & (pr_i != ii - 1)
+            use_prev = ~is_start | (pr_i == ii - 1)
+            pD = jnp.where(use_hbm, predD[:, :, :],
+                           jnp.where(use_prev, prevD[:, :, :],
+                                     row0[:, :, :]))
+            pY = jnp.where(use_hbm, predY[:, :, :],
+                           jnp.where(use_prev, prevY[:, :, :],
+                                     row0[:, :, :]))
+
+            # ---- wait for the previous row's commit copies before the
+            # out* staging is rewritten (the copies overlap the first-
+            # column + fetch + easy-row compute above/below; row i-1
+            # started copies iff it was live, i.e. iff i >= 2 here) ----
+            if "commit" not in strip:
+
+                @pl.when((i >= 2) & live)
+                def _():
+                    for k, (dst, src) in enumerate(
+                        ((dm_any, outD), (x_any, outX), (y_any, outY))
+                    ):
+                        pltpu.make_async_copy(
+                            src, dst.at[jnp.maximum(ii - 1, 0),
+                                        pl.ds(bo, Bt)], wsem.at[k]
+                        ).wait()
 
             # ---- easy row (pathwise_gap_engine.easy_row) ----
-            @pl.when(~is_hard & ("easy" not in strip))
+            @pl.when(~is_hard & live & ("easy" not in strip))
             def _():
                 ap = eap_ref[ii]
                 d32 = jnp.where((flags & F_EDELTA) != 0, 1, 0)
@@ -369,12 +393,16 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                         valid = (bf & BF_VALID) != 0
                         pred_s = jnp.where(valid,
                                            bpred_ref[ii * MB + s], 0)
-                        fetch(dm_any, predD, pred_s, 0)
-                        fetch(y_any, predY, pred_s, 1)
-                        Dp_s = jnp.where(pred_s == 0, row0[:, :, :],
-                                         predD[:, :, :])
-                        Yp_s = jnp.where(pred_s == 0, row0[:, :, :],
-                                         predY[:, :, :])
+                        fetch(dm_any, predD, pred_s, ii - 1, 0)
+                        fetch(y_any, predY, pred_s, ii - 1, 1)
+                        Dp_s = jnp.where(
+                            pred_s == 0, row0[:, :, :],
+                            jnp.where(pred_s == ii - 1, prevD[:, :, :],
+                                      predD[:, :, :]))
+                        Yp_s = jnp.where(
+                            pred_s == 0, row0[:, :, :],
+                            jnp.where(pred_s == ii - 1, prevY[:, :, :],
+                                      predY[:, :, :]))
                         tb_s = btb_ref[ii * MB + s]
                         ap_s = bap_ref[ii * MB + s]
                         d_s = jnp.where((bf & BF_DELTA) != 0, 1, 0)
@@ -581,14 +609,26 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                 prevX[:, :, :] = Xrow
                 prevY[:, :, :] = Yrow
                 if "commit" not in strip:
+                    # start only — the wait is deferred to the point
+                    # the next row rewrites the staging (or the drain
+                    # below for the last live row)
                     for k, (dst, src) in enumerate(
                         ((dm_any, outD), (x_any, outX), (y_any, outY))
                     ):
-                        cp = pltpu.make_async_copy(
+                        pltpu.make_async_copy(
                             src, dst.at[ii, pl.ds(bo, Bt)], wsem.at[k]
-                        )
-                        cp.start()
-                        cp.wait()
+                        ).start()
+
+            if "commit" not in strip:
+
+                @pl.when(i == nlast + 1)
+                def _():
+                    for k, (dst, src) in enumerate(
+                        ((dm_any, outD), (x_any, outX), (y_any, outY))
+                    ):
+                        pltpu.make_async_copy(
+                            src, dst.at[nlast, pl.ds(bo, Bt)], wsem.at[k]
+                        ).wait()
 
     return kernel
 
