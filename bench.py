@@ -620,7 +620,19 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
 
             return lambda: int(fn(seq6))
 
-        dt6 = slope_time(chained_gap67, iters)
+        try:
+            dt6 = slope_time(chained_gap67, iters)
+        except Exception as e:
+            # the Pallas fill compiles per (shape, Bt) and a Mosaic
+            # regression here must not cost the metric: rerun on the
+            # XLA-scan path rather than dropping the line
+            print(f"# mode6 Pallas fill failed ({e}); rerunning with "
+                  "RECGRAPH_NO_PALLAS67_FILL=1", file=sys.stderr)
+            os.environ["RECGRAPH_NO_PALLAS67_FILL"] = "1"
+            try:
+                dt6 = slope_time(chained_gap67, iters)
+            finally:
+                del os.environ["RECGRAPH_NO_PALLAS67_FILL"]
         line(
             "pathwise_gap_dp_throughput", cells6 / dt6 / 1e9, base_scalar,
             f"mode6 batch={B6} P={P} per-fill={dt6*1e3:.1f}ms reads/s={B6/dt6:.0f}",
