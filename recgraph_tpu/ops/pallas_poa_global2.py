@@ -92,7 +92,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
         minp_ref,       # i32[n]     min predecessor / i-1
         sink_ord_ref,   # i32[n]     ordinal among F's preds, -1 otherwise
         sub_ref,        # [7, Bt, Lpo]
-        eq_ref,         # [7, Bt, Lpo]
+        seqc_ref,       # [Bt, Lpo]  read codes (-1 pad)
         gseq_ref,       # [Bt, Lpo]  table[seq, '-']
         gcol0_ref,      # [Bt, Lpo]  table['-', seq] (row 0)
         aux_ref,        # [Bt, 128]  lane0=L, lane1=bta
@@ -175,7 +175,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             gnode_i = gnode_ref[ii]
             minp = minp_ref[ii]
             subrow = sub_ref[code_i]
-            match = eq_ref[code_i] != 0
+            match = seqc_ref[:, :] == code_i
 
             # ---- predecessor candidates ----
             # fast path: single pred i-1 (prev_s, int32, band-masked)
@@ -379,10 +379,12 @@ def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
             ringc: int = RING) -> int:
     """Largest power-of-two batch tile whose VMEM footprint fits.
 
-    Words per (Bt x Lpo) element: ring ringc*(0.5|1), sub+eq 28 (x2
-    buffers), gseq/gcol0/aux ~6, packed out 2R, scratch 8.
+    Words per (Bt x Lpo) element: ring ringc*(0.5|1), sub 14 + seqc 2
+    (x2 buffers), gseq/gcol0/aux ~6, packed out 2R, scratch 8.  The
+    seq-code match (vs the former 7-plane eq table) follows the mode-2
+    kernel; it is what affords Bt=128 at the packed lane width.
     """
-    words = ringc * (0.5 if ring16 else 1.0) + 28 + 6 + 2 * R + 8
+    words = ringc * (0.5 if ring16 else 1.0) + 16 + 6 + 2 * R + 8
     bt = 128
     while bt > 8 and (words * 4 * bt * Lpo > VMEM_BUDGET or bt > B or B % bt):
         bt //= 2
@@ -436,7 +438,7 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
                     in_specs=[
                         pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
+                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
@@ -487,9 +489,9 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
         [table[codes7][:, seq], jnp.zeros((7, B, Lpo - Lp), jnp.int32)],
         axis=2,
     )
-    eq = jnp.concatenate(
-        [(seq[None] == codes7[:, None, None]).astype(jnp.int32),
-         jnp.zeros((7, B, Lpo - Lp), jnp.int32)], axis=2
+    seqc = jnp.concatenate(
+        [seq.astype(jnp.int32), jnp.full((B, Lpo - Lp), -1, jnp.int32)],
+        axis=1,
     )
     gseq = jnp.concatenate([table[seq, GAP], pad], axis=1)
     gcol0 = jnp.concatenate([table[GAP, seq], pad], axis=1)
@@ -504,7 +506,7 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
         dg.pred_idx.reshape(-1), dg.pred_rank.reshape(-1), dg.erank,
         minp_rank, dg.node_start.astype(jnp.int32), gnode,
         dg.codes, dg.r_values, dg.min_pred, jnp.asarray(sink_ord),
-        sub, eq, gseq, gcol0, aux,
+        sub, seqc, gseq, gcol0, aux,
     )
     packed = packed[:n].at[n - 1].set(0)
     return score[:, 0], lrow[:, 0], lcol[:, 0], packed
