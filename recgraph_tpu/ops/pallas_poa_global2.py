@@ -70,13 +70,20 @@ def _cumsum_lanes(x, jcol, Lp):
 
 
 def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
-                 ringc: int, strip: frozenset = frozenset()):
+                 ringc: int, strip: frozenset = frozenset(),
+                 seg: int = 0, npack: int = 1):
     """strip: TIMING-ONLY ablations (results wrong) — 'chain' (skip the
     (max,+) prefix solve), 'band' (fixed full band, no pred-bsp math),
     'sweep' (skip the start-row pred sweep), 'edges' (skip the
     left-edge/base lane extractions), 'dirs' (skip direction packing).
     Used by tools/ablate_global2.py to locate the kernel's floor
-    (the v4/v5 strip-ablation playbook, PERF.md)."""
+    (the v4/v5 strip-ablation playbook, PERF.md).
+
+    npack > 1 packs that many reads per lane-row (v5's lever, applied
+    to the banded kernel): ``seg`` is the per-read lane extent, all
+    column indices become segment-local (jloc), band scalars/scratch
+    and sink captures go per-segment, and the latency-bound chain
+    serialises over npack-times fewer lane-rows."""
     num_sinks = len(sink_rows)
     rdt = jnp.int16 if ring16 else jnp.int32
 
@@ -95,40 +102,85 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
         seqc_ref,       # [Bt, Lpo]  read codes (-1 pad)
         gseq_ref,       # [Bt, Lpo]  table[seq, '-']
         gcol0_ref,      # [Bt, Lpo]  table['-', seq] (row 0)
-        aux_ref,        # [Bt, 128]  lane0=L, lane1=bta
-        packed_ref,     # out [R, Bt, Lpo]
-        score_ref,      # out [Bt, 1]
-        lrow_ref,       # out [Bt, 1]
-        lcol_ref,       # out [Bt, 1]
-        ring,           # scratch [ringc, Bt, Lpo] (rdt), end-rank indexed
-        row0_s,         # scratch [Bt, Lpo]
-        prev_s,         # scratch [Bt, Lpo] (previous row, int32)
-        G_s,            # scratch [2, Bt, Lpo] (cumsum gseq / gcol0)
-        sweep_s,        # scratch [4, Bt, Lpo] (start-row sweep staging)
-        lefts_s,        # scratch [n_scr, Bt]
-        rights_s,       # scratch [n_scr, Bt]
-        bsp_s,          # scratch [n_scr, Bt]
-        lvals_s,        # scratch [n_scr, Bt] (row value at its left edge)
-        sink_v,         # scratch [8 * ceil(S/8), Bt]
+        aux_ref,        # [Bt, 128]  lanes [0..np)=L, [np..2np)=bta per seg
+        packed_ref,     # out [R, Bt, Lpt]
+        score_ref,      # out [Bt, npack]
+        lrow_ref,       # out [Bt, npack]
+        lcol_ref,       # out [Bt, npack]
+        ring,           # scratch [ringc, Bt, Lpt] (rdt), end-rank indexed
+        row0_s,         # scratch [Bt, Lpt]
+        prev_s,         # scratch [Bt, Lpt] (previous row, int32)
+        G_s,            # scratch [2, Bt, Lpt] (cumsum gseq / gcol0)
+        sweep_s,        # scratch [4, Bt, Lpt] (start-row sweep staging)
+        lefts_s,        # scratch [npack * ringc, Bt] end-rank compact
+        rights_s,       # scratch [npack * ringc, Bt]   (like the value
+        bsp_s,          # scratch [npack * ringc, Bt]    ring: preds are
+        lvals_s,        # scratch [npack * ringc, Bt]    always node ends)
+        pscal_s,        # scratch [pad8(8*npack), Bt] rows q*2*npack+
+                        #   {0: prev row i-1, 1: row 0} * npack + k,
+                        #   scalars q in (left, right, bsp, lvals)
+        sink_v,         # scratch [npack * 8 * ceil(S/8), Bt]
         sink_c,         # scratch [...same]
     ):
         step = pl.program_id(1)
-        Bt, Lpo = gseq_ref.shape
+        Bt, Lpt = gseq_ref.shape
+        S = seg if npack > 1 else Lpt
+        spad = sink_v.shape[0] // npack
         Pm = pred_idx_ref.shape[0] // codes_ref.shape[0]
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lpo), 1)
-        L = aux_ref[:, 0:1]                               # [Bt, 1]
-        bta = aux_ref[:, 1:2]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (Bt, Lpt), 1)
+        jloc = jcol % S if npack > 1 else jcol
+        segid = jcol // S
+        segm = [segid == k for k in range(npack)]
+        Ls = [aux_ref[:, k : k + 1] for k in range(npack)]
+        btas = [aux_ref[:, npack + k : npack + k + 1]
+                for k in range(npack)]
         NEGc = jnp.int32(NEG)
 
-        def lane_at(row, col):
+        def expand(vals):
+            """Per-segment [Bt, 1] scalars -> [Bt, Lpt] lane plane."""
+            out = vals[0]
+            for k in range(1, npack):
+                out = jnp.where(segm[k], vals[k], out)
+            return jnp.broadcast_to(out, (Bt, Lpt)) if npack == 1 else out
+
+        def lane_at(row, col, k):
+            """Value of ``row`` at segment-local column ``col`` of
+            segment ``k`` -> [Bt, 1]."""
+            m = (jloc == col) & segm[k] if npack > 1 else jloc == col
             return jnp.max(
-                jnp.where(jcol == col, row, NEGc), axis=1, keepdims=True
+                jnp.where(m, row, NEGc), axis=1, keepdims=True
+            )
+
+        def sreg_rank(ref, k, rank):
+            """[Bt, 1] read of segment k's compact register file at
+            end-rank ``rank`` (callers must special-case row 0)."""
+            return jnp.transpose(
+                ref[pl.ds(k * ringc + jnp.maximum(rank, 0) % ringc, 1), :]
+            )
+
+        SCAL = {"left": (lefts_s, 0), "right": (rights_s, 1),
+                "bsp": (bsp_s, 2), "lvals": (lvals_s, 3)}
+
+        def pscal(name, k, slot):
+            """[Bt, 1] read of a prev-row (slot 0) / row-0 (slot 1)
+            band scalar of segment k."""
+            q = SCAL[name][1]
+            return jnp.transpose(
+                pscal_s[pl.ds(q * 2 * npack + slot * npack + k, 1), :]
+            )
+
+        def pred_scal(name, k, pidx, rank):
+            """Band scalar of predecessor row ``pidx`` (a node end or
+            row 0) for segment k."""
+            return jnp.where(
+                pidx == 0, pscal(name, k, 1),
+                sreg_rank(SCAL[name][0], k, rank),
             )
 
         @pl.when(step == 0)
         def _():
-            G_s[0] = _cumsum_lanes(gseq_ref[:, :], jcol, Lpo)
-            G_s[1] = _cumsum_lanes(gcol0_ref[:, :], jcol, Lpo)
+            G_s[0] = _cumsum_lanes(gseq_ref[:, :], jloc, S)
+            G_s[1] = _cumsum_lanes(gcol0_ref[:, :], jloc, S)
 
         G = G_s[0]
         gseq = gseq_ref[:, :]
@@ -143,19 +195,20 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             # bsp[i-1]; start rows sweep all preds ([Bt, 1] selects —
             # near-free, so the sweep runs unconditionally masked)
             is_start = (is_start_ref[ii] != 0) & (i > 0) & live
-            if "band" in strip:   # timing-only: fixed full band
-                left = jnp.zeros((Bt, 1), jnp.int32)
-                right = L
-            else:
-                pb_prev = jnp.transpose(
-                    bsp_s[pl.ds(jnp.maximum(i - 1, 0), 1), :]
-                )
+            lefts, rights = [], []
+            for k in range(npack):
+                if "band" in strip:   # timing-only: fixed full band
+                    lefts.append(jnp.zeros((Bt, 1), jnp.int32))
+                    rights.append(Ls[k])
+                    continue
+                pb_prev = pscal("bsp", k, 0)
                 ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
                 me_s = jnp.full((Bt, 1), NEG, jnp.int32)
                 for p in range(Pm):
                     pidx = pred_idx_ref[ii * Pm + p]
                     ok = (pidx >= 0) & is_start
-                    pb = jnp.transpose(bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :])
+                    pb = pred_scal("bsp", k, pidx,
+                                   pred_rank_ref[ii * Pm + p])
                     ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
                     me_s = jnp.where(ok & (pb > me_s), pb, me_s)
                 ms = jnp.where(is_start, ms_s, pb_prev) + 1
@@ -163,13 +216,17 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
                 ms = jnp.where(i == 0, 0, ms)
                 me = jnp.where(i == 0, 0, me)
                 r_i = r_ref[ii]
-                left = jnp.maximum(0, jnp.minimum(ms, L - r_i - bta))
-                right = jnp.where(
-                    L > r_i,
-                    jnp.minimum(L, jnp.maximum(me, L - r_i) + bta),
-                    jnp.minimum(L, me + bta),
-                )
-            in_band = (left <= jcol) & (jcol < right)
+                lefts.append(jnp.maximum(
+                    0, jnp.minimum(ms, Ls[k] - r_i - btas[k])))
+                rights.append(jnp.where(
+                    Ls[k] > r_i,
+                    jnp.minimum(Ls[k],
+                                jnp.maximum(me, Ls[k] - r_i) + btas[k]),
+                    jnp.minimum(Ls[k], me + btas[k]),
+                ))
+            left = expand(lefts)
+            right = expand(rights)
+            in_band = (left <= jloc) & (jloc < right)
 
             code_i = codes_ref[ii]
             gnode_i = gnode_ref[ii]
@@ -179,14 +236,14 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
 
             # ---- predecessor candidates ----
             # fast path: single pred i-1 (prev_s, int32, band-masked)
-            pl_f = jnp.transpose(lefts_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
-            pr_f = jnp.transpose(rights_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
+            pl_f = expand([pscal("left", k, 0) for k in range(npack)])
+            pr_f = expand([pscal("right", k, 0) for k in range(npack)])
             prev = prev_s[:, :]
-            cov_u = (pl_f <= jcol) & (jcol < pr_f)
+            cov_u = (pl_f <= jloc) & (jloc < pr_f)
             u_pre_f = jnp.where(cov_u, prev, NEGc)
             prev_sh = pltpu.roll(prev, 1, 1)
-            cov_d = (pl_f < jcol) & (jcol <= pr_f)
-            d_pre_f = jnp.where(cov_d & (jcol > 0), prev_sh, NEGc)
+            cov_d = (pl_f < jloc) & (jloc <= pr_f)
+            d_pre_f = jnp.where(cov_d & (jloc > 0), prev_sh, NEGc)
 
             def pred_row(pidx, rank):
                 prow = ring[jnp.maximum(rank, 0) % ringc].astype(jnp.int32)
@@ -196,28 +253,27 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             def _():
                 # full first-best predecessor sweep (ascending order,
                 # global_abpoa.rs:486-566), staged through sweep_s
-                u_pre = jnp.full((Bt, Lpo), NEG, jnp.int32)
-                u_arg = jnp.zeros((Bt, Lpo), jnp.int32)
-                d_pre = jnp.full((Bt, Lpo), NEG, jnp.int32)
-                d_arg = jnp.zeros((Bt, Lpo), jnp.int32)
+                u_pre = jnp.full((Bt, Lpt), NEG, jnp.int32)
+                u_arg = jnp.zeros((Bt, Lpt), jnp.int32)
+                d_pre = jnp.full((Bt, Lpt), NEG, jnp.int32)
+                d_arg = jnp.zeros((Bt, Lpt), jnp.int32)
                 for p in range(Pm):
                     pidx = pred_idx_ref[ii * Pm + p]
                     ok = pidx >= 0
-                    prow = pred_row(pidx, pred_rank_ref[ii * Pm + p])
-                    pl_ = jnp.transpose(
-                        lefts_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
-                    )
-                    pr_ = jnp.transpose(
-                        rights_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
-                    )
-                    cu = ok & (pl_ <= jcol) & (jcol < pr_)
+                    rank_p = pred_rank_ref[ii * Pm + p]
+                    prow = pred_row(pidx, rank_p)
+                    pl_ = expand([pred_scal("left", k, pidx, rank_p)
+                                  for k in range(npack)])
+                    pr_ = expand([pred_scal("right", k, pidx, rank_p)
+                                  for k in range(npack)])
+                    cu = ok & (pl_ <= jloc) & (jloc < pr_)
                     v = jnp.where(cu, prow, NEGc)
                     upd = v > u_pre
                     u_arg = jnp.where(upd, pidx, u_arg)
                     u_pre = jnp.where(upd, v, u_pre)
                     prow_sh = pltpu.roll(prow, 1, 1)
-                    cd = ok & (pl_ < jcol) & (jcol <= pr_)
-                    v = jnp.where(cd & (jcol > 0), prow_sh, NEGc)
+                    cd = ok & (pl_ < jloc) & (jloc <= pr_)
+                    v = jnp.where(cd & (jloc > 0), prow_sh, NEGc)
                     upd = v > d_pre
                     d_arg = jnp.where(upd, pidx, d_arg)
                     d_pre = jnp.where(upd, v, d_pre)
@@ -232,7 +288,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             d_arg = jnp.where(is_start, sweep_s[3], i - 1)
 
             has_u = u_pre > NEGc // 2
-            u_val = jnp.where(has_u, u_pre + gnode_i, gnode_i * (i + jcol))
+            u_val = jnp.where(has_u, u_pre + gnode_i, gnode_i * (i + jloc))
             u_pred = jnp.where(has_u, u_arg, minp)
             has_d = d_pre > NEGc // 2
             d_fb = gnode_i * (i + left)
@@ -247,15 +303,20 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             # pred row's own left-edge value from the lvals register
             # file instead of re-extracting it from the ring
             A = jnp.maximum(d_val, u_val)
-            is_left = jcol == left
+            is_left = jloc == left
             if "edges" in strip:   # timing-only: skip edge handling
                 lfb_full = gnode_i * (i + left)
                 A = jnp.where(in_band, A, NEGc)
             else:
-                lfb_full = gseq * (i + jcol)
-                base0 = (
-                    jnp.transpose(lvals_s[pl.ds(minp, 1), :]) + gnode_i
-                )
+                lfb_full = gseq * (i + jloc)
+                # minp is i-1 for non-start rows (the prev slot) and a
+                # node end (or row 0) for start rows (the compact file)
+                base0 = expand([
+                    jnp.where(is_start,
+                              pred_scal("lvals", k, minp,
+                                        minp_rank_ref[ii]),
+                              pscal("lvals", k, 0))
+                    for k in range(npack)]) + gnode_i
                 A = jnp.where(
                     is_left,
                     jnp.where(left == 0, base0,
@@ -266,33 +327,37 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
 
             Grow = jnp.where(i == 0, G_s[1], G)
             A0row = jnp.where(in_band, Grow, NEGc)
-            A0row = jnp.where(jcol == 0, 0, A0row)
+            A0row = jnp.where(jloc == 0, 0, A0row)
             chained = (
                 A - Grow if "chain" in strip
-                else _chain_radix(A - Grow, jcol, Lpo)
+                else _chain_radix(A - Grow, jloc, S)
             )
             m_row = jnp.where(i == 0, A0row, Grow + chained)
             m_row = jnp.where(in_band, m_row, NEGc)
-            m_row = jnp.where((i == 0) & (jcol == 0), 0, m_row)
+            m_row = jnp.where((i == 0) & (jloc == 0), 0, m_row)
 
             masked = jnp.where(in_band, m_row, NEGc)
-            rmax = jnp.max(masked, axis=1, keepdims=True)
-            bsp_i = jnp.max(
-                jnp.where((masked == rmax) & in_band, jcol, -1),
-                axis=1, keepdims=True,
-            )
+            bsps = []
+            for k in range(npack):
+                mk = jnp.where(segm[k], masked, NEGc)
+                rmax_k = jnp.max(mk, axis=1, keepdims=True)
+                bsps.append(jnp.max(
+                    jnp.where((mk == rmax_k) & in_band & segm[k],
+                              jloc, -1),
+                    axis=1, keepdims=True,
+                ))
 
             # ---- directions (utils.rs:129-140, D >= U >= L) ----
             if "dirs" in strip:   # timing-only: skip direction packing
                 packed_ref[r] = m_row
             else:
                 m_prev = pltpu.roll(m_row, 1, 1)
-                m_prev = jnp.where(jcol == 0, NEGc, m_prev)
+                m_prev = jnp.where(jloc == 0, NEGc, m_prev)
                 l_val = m_prev + gseq
                 l_val = jnp.where(
                     is_left, jnp.where(left == 0, NEGc, lfb_full), l_val
                 )
-                l_pred = jnp.where(jcol > left, i, minp)
+                l_pred = jnp.where(jloc > left, i, minp)
                 d_ge_u = d_val >= u_val
                 dirD = d_ge_u & (d_val >= l_val)
                 dirU = (~d_ge_u) & (u_val >= l_val)
@@ -307,15 +372,15 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
                 dcode = jnp.where(is_base, U_DIR, dcode)
                 pred_sel = jnp.where(is_base, minp, pred_sel)
                 dcode = jnp.where(
-                    i == 0, jnp.where(jcol == 0, O, L_DIR), dcode
+                    i == 0, jnp.where(jloc == 0, O, L_DIR), dcode
                 )
                 pred_sel = jnp.where(i == 0, 0, pred_sel)
                 pk = jnp.where(in_band, pred_sel * 16 + dcode, 0)
                 pk = jnp.where(i == 0, jnp.where(
-                    in_band & (jcol > 0), jnp.int32(L_DIR), jnp.int32(O)
+                    in_band & (jloc > 0), jnp.int32(L_DIR), jnp.int32(O)
                 ), pk)
-                pk = jnp.where(jcol == Lb, left, pk)      # caller reads
-                pk = jnp.where(jcol == Lb + 1, right, pk)  # bounds Lp/Lp+1
+                pk = jnp.where(jloc == Lb, left, pk)      # caller reads
+                pk = jnp.where(jloc == Lb + 1, right, pk)  # bounds Lp/Lp+1
                 pk = jnp.where(live, pk, 0)
                 packed_ref[r] = pk
 
@@ -337,37 +402,55 @@ def _make_kernel(sink_rows, R: int, n: int, ring16: bool, Lb: int,
             def _():
                 row0_s[:, :] = m_store
 
-            iw = jnp.minimum(i, lefts_s.shape[0] - 1)  # pad rows: spare slot
-            lefts_s[pl.ds(iw, 1), :] = jnp.transpose(left)
-            rights_s[pl.ds(iw, 1), :] = jnp.transpose(right)
-            bsp_s[pl.ds(iw, 1), :] = jnp.transpose(bsp_i)
-            lvals_s[pl.ds(iw, 1), :] = jnp.transpose(lane_at(m_row, left))
+            for k in range(npack):
+                vals = {"left": lefts[k], "right": rights[k],
+                        "bsp": bsps[k],
+                        "lvals": lane_at(m_row, lefts[k], k)}
+                for name, v in vals.items():
+                    ref, q = SCAL[name]
+                    vt = jnp.transpose(v)
+                    pscal_s[pl.ds(q * 2 * npack + k, 1), :] = vt
+
+                    @pl.when(i == 0)
+                    def _(ref=ref, q=q, vt=vt, k=k):
+                        pscal_s[pl.ds(q * 2 * npack + npack + k, 1),
+                                :] = vt
+
+                    @pl.when(er >= 0)
+                    def _(ref=ref, vt=vt, k=k):
+                        ref[pl.ds(k * ringc + er % ringc, 1), :] = vt
 
             # ---- sink capture + final selection (":397-405") ----
             so = sink_ord_ref[ii]
 
             @pl.when((so >= 0) & live)
             def _():
-                sink_v[pl.ds(so, 1), :] = jnp.transpose(
-                    lane_at(m_row, right - 1)
-                )
-                sink_c[pl.ds(so, 1), :] = jnp.transpose(right - 1)
+                for k in range(npack):
+                    sink_v[pl.ds(k * spad + so, 1), :] = jnp.transpose(
+                        lane_at(m_row, rights[k] - 1, k)
+                    )
+                    sink_c[pl.ds(k * spad + so, 1), :] = jnp.transpose(
+                        rights[k] - 1)
 
             @pl.when(i == n - 2)
             def _():
-                best = lane_at(m_row, right - 1)
-                brow = jnp.full((Bt, 1), i, jnp.int32)
-                bcol = right - 1
-                for k in range(num_sinks):
-                    v = jnp.transpose(sink_v[pl.ds(k, 1), :])
-                    c = jnp.transpose(sink_c[pl.ds(k, 1), :])
-                    upd = v > best
-                    best = jnp.where(upd, v, best)
-                    brow = jnp.where(upd, jnp.int32(sink_rows[k]), brow)
-                    bcol = jnp.where(upd, c, bcol)
-                score_ref[:, :] = best
-                lrow_ref[:, :] = brow
-                lcol_ref[:, :] = bcol
+                for k in range(npack):
+                    best = lane_at(m_row, rights[k] - 1, k)
+                    brow = jnp.full((Bt, 1), i, jnp.int32)
+                    bcol = rights[k] - 1
+                    for q in range(num_sinks):
+                        v = jnp.transpose(
+                            sink_v[pl.ds(k * spad + q, 1), :])
+                        c = jnp.transpose(
+                            sink_c[pl.ds(k * spad + q, 1), :])
+                        upd = v > best
+                        best = jnp.where(upd, v, best)
+                        brow = jnp.where(
+                            upd, jnp.int32(sink_rows[q]), brow)
+                        bcol = jnp.where(upd, c, bcol)
+                    score_ref[:, k : k + 1] = best
+                    lrow_ref[:, k : k + 1] = brow
+                    lcol_ref[:, k : k + 1] = bcol
 
     return kernel
 
@@ -392,16 +475,31 @@ def pick_bt(B: int, Lpo: int, ring16: bool, R: int = 8,
 
 
 def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
-                   ring16=None, strip: frozenset = frozenset()):
+                   ring16=None, strip: frozenset = frozenset(), pack=1):
     """Drop-in for pallas_poa.fill_global (same outputs/packed layout).
 
     Pads lanes to a 128 multiple internally; ``packed`` is returned at
     the padded width [n, B, Lpo] with band bounds in lanes Lp/Lp+1
     (the caller's unpadded width — where fill_global's callers look).
+
+    ``pack`` > 1 packs that many reads per lane-row (B % pack == 0):
+    the chain/cumsum guards stop at segment boundaries and every band
+    scalar goes per-segment, so per-read results are bit-identical
+    while the latency-bound chain serialises over pack-times fewer
+    lane-rows (the v5 lever).  Outputs keep per-READ shapes.
     """
     B, Lp = seq.shape
     Lpo = -(-(Lp + 8) // 128) * 128
     n = dg.n
+    if pack > 1 and B % pack:
+        raise ValueError(f"batch {B} not divisible by pack {pack}")
+    if pack > 1 and R == 8:
+        # halve the output double-buffer: packed Bt=128 at R=8 sits
+        # 208 KB over the 16 MB scoped-VMEM limit (measured); R=4
+        # costs ~0.7 ms of extra grid-step overhead per fill instead
+        R = 4
+    Brows = B // pack
+    Lpt = pack * Lpo
     if ring16 is None:
         if isinstance(table, jax.core.Tracer):
             ring16 = False
@@ -413,70 +511,73 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
     while ringc <= dg.compact_span:
         ringc *= 2
     if Bt is None:
-        Bt = pick_bt(B, Lpo, ring16, R, ringc)
-    if B % Bt:
-        raise ValueError(f"batch {B} not divisible by tile {Bt}")
+        Bt = min(pick_bt(Brows, Lpt, ring16, R, ringc), Brows)
+    if Brows % Bt:
+        raise ValueError(f"batch {Brows} not divisible by tile {Bt}")
     # n_pad must cover n rows (the wrappers slice packed[:n]); with small
     # R, ceil((n-1)/R)*R can fall below n and the .at[n-1] clamp would
     # silently overwrite the last real row
     steps = -(-n // R)
     n_pad = steps * R
-    n_scr = -(-(n + 1) // 8) * 8
     sink_rows = dg.sink_rows
     sink_pad = (len(sink_rows) + 7) // 8 * 8
 
-    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc, strip)
+    key = (sink_rows, Lpo, Lp, n, Bt, R, B, interpret, ring16, ringc,
+           strip, pack)
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc, strip)
+        kernel = _make_kernel(sink_rows, R, n, ring16, Lp, ringc, strip,
+                              seg=Lpo, npack=pack)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=10,
-                    grid=(B // Bt, steps),
+                    grid=(Brows // Bt, steps),
                     in_specs=[
-                        pl.BlockSpec((7, Bt, Lpo), lambda b, s, *_: (0, b, 0),
+                        pl.BlockSpec((7, Bt, Lpt), lambda b, s, *_: (0, b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, Lpt), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, Lpt), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, Lpo), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, Lpt), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((Bt, 128), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                     ],
                     out_specs=[
-                        pl.BlockSpec((R, Bt, Lpo), lambda b, s, *_: (s, b, 0),
+                        pl.BlockSpec((R, Bt, Lpt), lambda b, s, *_: (s, b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, pack), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, pack), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((Bt, 1), lambda b, s, *_: (b, 0),
+                        pl.BlockSpec((Bt, pack), lambda b, s, *_: (b, 0),
                                      memory_space=pltpu.VMEM),
                     ],
                     scratch_shapes=[
-                        pltpu.VMEM((ringc, Bt, Lpo),
+                        pltpu.VMEM((ringc, Bt, Lpt),
                                    jnp.int16 if ring16 else jnp.int32),
-                        pltpu.VMEM((Bt, Lpo), jnp.int32),
-                        pltpu.VMEM((Bt, Lpo), jnp.int32),
-                        pltpu.VMEM((2, Bt, Lpo), jnp.int32),
-                        pltpu.VMEM((4, Bt, Lpo), jnp.int32),
-                        pltpu.VMEM((n_scr, Bt), jnp.int32),
-                        pltpu.VMEM((n_scr, Bt), jnp.int32),
-                        pltpu.VMEM((n_scr, Bt), jnp.int32),
-                        pltpu.VMEM((n_scr, Bt), jnp.int32),
-                        pltpu.VMEM((sink_pad, Bt), jnp.int32),
-                        pltpu.VMEM((sink_pad, Bt), jnp.int32),
+                        pltpu.VMEM((Bt, Lpt), jnp.int32),
+                        pltpu.VMEM((Bt, Lpt), jnp.int32),
+                        pltpu.VMEM((2, Bt, Lpt), jnp.int32),
+                        pltpu.VMEM((4, Bt, Lpt), jnp.int32),
+                        pltpu.VMEM((pack * ringc, Bt), jnp.int32),
+                        pltpu.VMEM((pack * ringc, Bt), jnp.int32),
+                        pltpu.VMEM((pack * ringc, Bt), jnp.int32),
+                        pltpu.VMEM((pack * ringc, Bt), jnp.int32),
+                        pltpu.VMEM((-(-8 * pack // 8) * 8, Bt),
+                                   jnp.int32),
+                        pltpu.VMEM((pack * sink_pad, Bt), jnp.int32),
+                        pltpu.VMEM((pack * sink_pad, Bt), jnp.int32),
                     ],
                 ),
                 out_shape=[
-                    jax.ShapeDtypeStruct((n_pad, B, Lpo), jnp.int32),
-                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
-                    jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                    jax.ShapeDtypeStruct((n_pad, Brows, Lpt), jnp.int32),
+                    jax.ShapeDtypeStruct((Brows, pack), jnp.int32),
+                    jax.ShapeDtypeStruct((Brows, pack), jnp.int32),
+                    jax.ShapeDtypeStruct((Brows, pack), jnp.int32),
                 ],
                 interpret=interpret,
             )
@@ -488,15 +589,23 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
     sub = jnp.concatenate(
         [table[codes7][:, seq], jnp.zeros((7, B, Lpo - Lp), jnp.int32)],
         axis=2,
-    )
+    ).reshape(7, Brows, Lpt)
     seqc = jnp.concatenate(
         [seq.astype(jnp.int32), jnp.full((B, Lpo - Lp), -1, jnp.int32)],
         axis=1,
-    )
-    gseq = jnp.concatenate([table[seq, GAP], pad], axis=1)
-    gcol0 = jnp.concatenate([table[GAP, seq], pad], axis=1)
-    aux = jnp.zeros((B, 128), jnp.int32)
-    aux = aux.at[:, 0].set(L).at[:, 1].set(jnp.asarray(bta, jnp.int32))
+    ).reshape(Brows, Lpt)
+    gseq = jnp.concatenate(
+        [table[seq, GAP], pad], axis=1).reshape(Brows, Lpt)
+    gcol0 = jnp.concatenate(
+        [table[GAP, seq], pad], axis=1).reshape(Brows, Lpt)
+    aux = jnp.zeros((Brows, 128), jnp.int32)
+    Lr = jnp.asarray(L).reshape(Brows, pack)
+    br = jnp.broadcast_to(
+        jnp.asarray(bta, jnp.int32).reshape(-1), (B,)
+    ).reshape(Brows, pack)
+    for k in range(pack):
+        aux = aux.at[:, k].set(Lr[:, k])
+        aux = aux.at[:, pack + k].set(br[:, k])
     sink_ord = np.full(n, -1, dtype=np.int32)
     for k, srow in enumerate(sink_rows):
         sink_ord[srow] = k
@@ -508,5 +617,6 @@ def fill_global_v2(dg, table, seq, L, bta, Bt=None, R=8, interpret=False,
         dg.codes, dg.r_values, dg.min_pred, jnp.asarray(sink_ord),
         sub, seqc, gseq, gcol0, aux,
     )
-    packed = packed[:n].at[n - 1].set(0)
-    return score[:, 0], lrow[:, 0], lcol[:, 0], packed
+    packed = packed.reshape(n_pad, B, Lpo)[:n].at[n - 1].set(0)
+    return (score.reshape(B), lrow.reshape(B), lcol.reshape(B),
+            packed)

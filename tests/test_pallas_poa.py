@@ -211,3 +211,42 @@ def test_global_v2_bit_exact(example_paths):
                 l, r = lf[b, i], rt[b, i]
                 if r > l:
                     assert (ref[3][b, i, l:r] == pk2[i, b, l:r]).all(), (b, i)
+
+
+def test_global_v2_packed(example_paths):
+    """Two reads packed per lane-row in the banded global kernel must
+    be bit-identical to the XLA fill — segment-local jloc guards keep
+    the chains/cumsums independent and every band scalar (left/right/
+    bsp/lvals, sink captures) goes per-segment.  Mixed lengths cover
+    the per-segment L/band interplay."""
+    from recgraph_tpu.ops import pallas_poa_global2
+    from recgraph_tpu.ops.encode import encode_read_aux
+
+    reads_fa, graph_gfa = example_paths
+    seqs, _ = fasta.get_sequences(reads_fa)
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    dg = poa_device_graph(g)
+    sm = ScoreMatrix.create("none", 2, -4)
+    table = jnp.asarray(sm.table, dtype=jnp.int32)
+    for reads in (seqs[:8],
+                  [s[:100] for s in seqs[:4]] + [s[:60] for s in seqs[4:8]]):
+        seq, L = encode_reads(reads)
+        Lp = seq.shape[1]
+        bta = encode_read_aux([100] * 8)
+        ref = [np.asarray(x)
+               for x in poa_engine._fill_global(dg, table, seq, L, bta)]
+        got = [np.asarray(x)
+               for x in pallas_poa_global2.fill_global_v2(
+                   dg, table, seq, L, bta, Bt=4, interpret=True, pack=2)]
+        assert (ref[0] == got[0]).all() and (ref[1] == got[1]).all()
+        assert (ref[2] == got[2]).all()
+        lf, rt = ref[4], ref[5]
+        pk2 = got[3]
+        assert (lf[:, : dg.n - 1] == pk2[: dg.n - 1, :, Lp].T).all()
+        assert (rt[:, : dg.n - 1] == pk2[: dg.n - 1, :, Lp + 1].T).all()
+        for b in range(8):
+            for i in range(dg.n - 1):
+                left, r = lf[b, i], rt[b, i]
+                if r > left:
+                    assert (ref[3][b, i, left:r]
+                            == pk2[i, b, left:r]).all(), (b, i)
