@@ -67,6 +67,14 @@ def main():
             kw["R"] = 4
         elif name == "r16":
             kw["R"] = 16
+        elif name == "pack2":
+            kw["pack"] = 2
+        elif name.startswith("pack2-"):
+            # pack2-all, or pack2-chain,band (strip the named sections)
+            kw["pack"] = 2
+            parts = name[len("pack2-"):].split(",")
+            kw["strip"] = (STRIPS["-all"] if parts == ["all"]
+                           else frozenset(parts))
         else:
             print(f"# unknown variant {name}", flush=True)
             continue
