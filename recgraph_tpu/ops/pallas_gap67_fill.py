@@ -481,6 +481,25 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                     hotlT = jnp.transpose(bhotl_ref[r : r + 1, :]) != 0
                     x0c = jnp.max(jnp.where(j0, x0, NEG), 2)  # [Bt, P]
                     x0t = jnp.transpose(x0c)                  # [P, Bt]
+                    # column-invariant per-block state, hoisted out of
+                    # the fori_loop body (each was recomputed per
+                    # column: 3 one-hot planes, a transpose, and the
+                    # flag scalars x MB x 255 columns)
+                    tb_hots, own_hots, nds = [], [], []
+                    isas, afters, fires, infixT = [], [], [], []
+                    for s in range(MB):
+                        tb_s = btb_ref[ii * MB + s]
+                        bf = bflags_ref[ii * MB + s]
+                        tb_hots.append(sub_i == tb_s)
+                        own_hots.append(ownT == s)
+                        nds.append(jnp.where(tb_s != ai, 1, 0))
+                        isas.append(jnp.where((bf & BF_ISA) != 0, 1, 0))
+                        afters.append(
+                            jnp.where((bf & BF_AFTER) != 0, 1, 0))
+                        fires.append(
+                            jnp.where((bf & BF_FIRE) != 0, 1, 0))
+                        infixT.append(jnp.transpose(
+                            bfix_ref[r, s : s + 1, :]) != 0)
 
                     def col(jj, carry):
                         x_row, d_row = carry                  # [P, Bt]
@@ -495,9 +514,8 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                         x_new = jnp.zeros_like(x_row)
                         stats = []
                         for s in range(MB):
-                            tb_s = btb_ref[ii * MB + s]
-                            nd_s = jnp.where(tb_s != ai, 1, 0)
-                            tb_hot = sub_i == tb_s
+                            nd_s = nds[s]
+                            tb_hot = tb_hots[s]
                             x_tb = jnp.sum(jnp.where(tb_hot, x_row, 0), 0,
                                            keepdims=True)
                             d_tb = jnp.sum(jnp.where(tb_hot, d_row, 0), 0,
@@ -510,11 +528,11 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                             dc_s = dc_j[s : s + 1]
                             mx_s = jnp.maximum(jnp.maximum(dc_s, u_s), l_s)
                             stats.append((lsel, mx_s, u_s, dc_s))
-                            own_s = ownT == s
                             xm = jnp.where(lsel, d_row - nd_s * d_tb,
                                            x_row - nd_s * x_tb)
                             x_new = jnp.where(
-                                own_s, jnp.where(hotT, l_s, xm), x_new)
+                                own_hots[s], jnp.where(hotT, l_s, xm),
+                                x_new)
                         d_new = jnp.zeros_like(d_row)
                         for s in range(MB):
                             lsel, mx_s, u_s, dc_s = stats[s]
@@ -523,9 +541,9 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                                 jnp.logical_not(is_d), mx_s == u_s)
                             dm = jnp.where(is_d, dfd_j,
                                            jnp.where(is_u, ypre_j, x_new))
-                            own_s = ownT == s
                             d_new = jnp.where(
-                                own_s, jnp.where(hotT, mx_s, dm), d_new)
+                                own_hots[s], jnp.where(hotT, mx_s, dm),
+                                d_new)
                         # per-column multi-alpha fixup
                         d_ai2 = jnp.sum(jnp.where(ai_hotT, d_new, 0), 0,
                                         keepdims=True)
@@ -535,41 +553,32 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                         va_adj_d = jnp.zeros_like(d_ai2)
                         va_adj_x = jnp.zeros_like(x_ai2)
                         for s in range(MB):
-                            bf = bflags_ref[ii * MB + s]
-                            tb_hot = sub_i == btb_ref[ii * MB + s]
                             m_tb_d = jnp.sum(
-                                jnp.where(tb_hot, d_new, 0), 0,
+                                jnp.where(tb_hots[s], d_new, 0), 0,
                                 keepdims=True)
                             m_tb_x = jnp.sum(
-                                jnp.where(tb_hot, x_new, 0), 0,
+                                jnp.where(tb_hots[s], x_new, 0), 0,
                                 keepdims=True)
-                            isa_s = jnp.where((bf & BF_ISA) != 0, 1, 0)
                             v0d = m_tb_d - d_ai2
                             v0x = m_tb_x - x_ai2
                             va0d.append(v0d)
                             va0x.append(v0x)
-                            va_adj_d = va_adj_d + isa_s * v0d
-                            va_adj_x = va_adj_x + isa_s * v0x
+                            va_adj_d = va_adj_d + isas[s] * v0d
+                            va_adj_x = va_adj_x + isas[s] * v0x
                         adds_d = jnp.zeros_like(d_new)
                         adds_x = jnp.zeros_like(x_new)
                         hotv_d = jnp.zeros_like(d_new)
                         hotv_x = jnp.zeros_like(x_new)
                         for s in range(MB):
-                            bf = bflags_ref[ii * MB + s]
-                            after_s = jnp.where((bf & BF_AFTER) != 0, 1, 0)
-                            fire_s = jnp.where((bf & BF_FIRE) != 0, 1, 0)
-                            vad = (va0d[s] - after_s * va_adj_d) * fire_s
-                            vax = (va0x[s] - after_s * va_adj_x) * fire_s
-                            in_fix = jnp.transpose(
-                                bfix_ref[r, s : s + 1, :]) != 0
-                            adds_d = jnp.where(in_fix, adds_d + vad,
+                            vad = (va0d[s] - afters[s] * va_adj_d) * fires[s]
+                            vax = (va0x[s] - afters[s] * va_adj_x) * fires[s]
+                            adds_d = jnp.where(infixT[s], adds_d + vad,
                                                adds_d)
-                            adds_x = jnp.where(in_fix, adds_x + vax,
+                            adds_x = jnp.where(infixT[s], adds_x + vax,
                                                adds_x)
-                            tb_hot = sub_i == btb_ref[ii * MB + s]
-                            hotv_d = jnp.where(tb_hot, hotv_d + vad,
+                            hotv_d = jnp.where(tb_hots[s], hotv_d + vad,
                                                hotv_d)
-                            hotv_x = jnp.where(tb_hot, hotv_x + vax,
+                            hotv_x = jnp.where(tb_hots[s], hotv_x + vax,
                                                hotv_x)
                         d_fin = jnp.where(hotlT, hotv_d, d_new + adds_d)
                         x_fin = jnp.where(hotlT, hotv_x, x_new + adds_x)
