@@ -244,7 +244,8 @@ def longread_bench(line, iters, base_scalar):
     # ---- mode 4 windowed (pathwise long reads — reference is full-width)
     pg = PathGraph.from_gfa(parsed, is_reversed=False)
     pdg = path_device_graph(pg)
-    B4 = 32
+    B4 = 16  # the k=4 chain at B=32 held ~5 GB of windowed planes and
+    # crashed the TPU worker (r4); B=16 with k_hi=2 stays well under
     seq4, L4 = encode_reads(
         reads[:B4], pad_to=pathwise_engine._align_lp(reads[:B4])
     )
@@ -277,7 +278,7 @@ def longread_bench(line, iters, base_scalar):
 
         return lambda: int(fn(seq4))
 
-    dt = slope_time(chained4, iters)
+    dt = slope_time(chained4, iters, k_hi=2)
     line(
         "pathwise_longread_throughput", cells4_full / dt / 1e9, base_scalar,
         f"mode4 longread B={B4} P={P} W={W4} per-fill={dt*1e3:.1f}ms "
@@ -676,17 +677,19 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
     except Exception as e:
         print(f"# mode8 bench failed: {e}", file=sys.stderr)
 
+    # ---- stretch config (BASELINE configs[4]): 10k reads e2e ----
+    # (before the longread legs: a longread kernel fault killing the
+    # TPU worker must not cost this line — r4 saw exactly that)
+    try:
+        stretch_bench(line)
+    except Exception as e:
+        print(f"# stretch bench failed: {e}", file=sys.stderr)
+
     # ---- long reads: windowed kernels (modes 0/2/4) ----
     try:
         longread_bench(line, iters, base_scalar)
     except Exception as e:
         print(f"# longread bench failed: {e}", file=sys.stderr)
-
-    # ---- stretch config (BASELINE configs[4]): 10k reads e2e ----
-    try:
-        stretch_bench(line)
-    except Exception as e:
-        print(f"# stretch bench failed: {e}", file=sys.stderr)
 
     line(*headline)
 
