@@ -251,7 +251,8 @@ def longread_bench(line, iters, base_scalar):
     )
     rmin = jnp.asarray(_rmin(pdg))
     W4 = 256
-    Aw, ws, bound = _fill_pathwise_win(pdg, table, seq4, L4, W4, rmin)
+    fill_win = pathwise_engine._pick_win_fill(pdg, table)
+    Aw, ws, bound = fill_win(pdg, table, seq4, L4, W4, rmin)
     fc = np.asarray(jax.device_get(_final_column_win(Aw, ws, L4)))
     bh = np.asarray(jax.device_get(bound))
     npass = sum(
@@ -269,9 +270,7 @@ def longread_bench(line, iters, base_scalar):
             tot = jnp.int32(0)
             s = seq
             for _ in range(k):
-                Aw, ws, bound = _fill_pathwise_win(
-                    pdg, table, s, L4, W4, rmin
-                )
+                Aw, ws, bound = fill_win(pdg, table, s, L4, W4, rmin)
                 tot = tot + Aw.reshape(-1)[123] + jnp.sum(bound)
                 s = jnp.roll(seq, tot & 3, axis=0)
             return tot

@@ -548,6 +548,36 @@ def _gaf_from_walk(dirs_b, rows_b, steps_b, stop_b, g, bp, node, score, s):
     )
 
 
+def _pick_win_fill(dg, table):
+    """Windowed-fill dispatcher: the Pallas kernel on TPU, the XLA
+    engine otherwise (and as the runtime fallback for widths the
+    kernel rejects).  RECGRAPH_NO_PALLAS_PWWIN=1 disables;
+    RECGRAPH_FORCE_PALLAS_PWWIN=interpret forces the kernel in
+    interpret mode (tests)."""
+    import os
+
+    from .pathwise_window import _fill_pathwise_win
+
+    force = os.environ.get("RECGRAPH_FORCE_PALLAS_PWWIN")
+    if os.environ.get("RECGRAPH_NO_PALLAS_PWWIN") or not (
+        force or jax.default_backend() == "tpu"
+    ):
+        return _fill_pathwise_win
+    mx = int(np.abs(np.asarray(table)).max())
+
+    def fill(dg, table, seq, L, W, rmin):
+        # same packed-chain fits gate as the dense Pallas kernel
+        if W % 128 or 2 * seq.shape[1] * mx >= (1 << 16):
+            return _fill_pathwise_win(dg, table, seq, L, W, rmin)
+        from .pallas_pathwise_win import fill_pathwise_win_pallas
+
+        return fill_pathwise_win_pallas(
+            dg, table, seq, L, W, rmin, interpret=force == "interpret"
+        )
+
+    return fill
+
+
 def _run_batch_walks_win(sequences, g, dg, table, sm, pred_of_full,
                          chunk_bytes) -> list[GafRecord]:
     """Mode-4 long reads: windowed O(W)-lane fill with a W ladder.
@@ -568,6 +598,7 @@ def _run_batch_walks_win(sequences, g, dg, table, sm, pred_of_full,
     from .pathwise_window import _fill_pathwise_win, _final_column_win, _rmin
 
     n, P = dg.n, dg.paths_number
+    fill_win = _pick_win_fill(dg, table)
     rmin = jnp.asarray(_rmin(dg))
     node_start = jnp.asarray(g.node_start)
     Lp_all = _align_lp(sequences)
@@ -588,7 +619,7 @@ def _run_batch_walks_win(sequences, g, dg, table, sm, pred_of_full,
         while idxs and W < Lp_all:
             sub = [sequences[i] for i in idxs]
             seq, L = encode_reads(sub, pad_to=Lp_all)
-            Aw, ws, bound = _fill_pathwise_win(dg, table, seq, L, W, rmin)
+            Aw, ws, bound = fill_win(dg, table, seq, L, W, rmin)
             finalcol = np.asarray(jax.device_get(_final_column_win(Aw, ws, L)))
             boundh = np.asarray(jax.device_get(bound))
             bps, nodes, scores, passed = [], [], [], []
