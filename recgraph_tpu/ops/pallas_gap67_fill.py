@@ -120,11 +120,13 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
         x_any,
         y_any,
         # ---- scratch ----
-        prevD, prevY, prevX,   # [Bt, P, Lp]
+        prevD, prevY,          # [Bt, P, Lp]
+        x0prevn,               # [Bt, P, 1]  prev row's first column
         row0,                  # [Bt, P, Lp]
-        predD, predY, predX,   # [Bt, P, Lp] DMA staging
+        predD, predY,          # [Bt, P, Lp] DMA staging
+        predX0,                # [Bt, P, 128] narrow first-col staging
         ycs, yfx, dfds,        # [Bt, P, Lp] hard staging
-        x0buf,                 # [Bt, P, Lp]
+        x0buf,                 # [Bt, P, 1]  (column-constant program)
         outD, outX, outY,      # [Bt, P, Lp] write staging
         uT, dcT,               # [CT, MB, Bt] per-column block strips
         dfdT, ypreT,           # [CT, P, Bt]  per-column owner planes
@@ -143,17 +145,20 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P, Lp), 1)
         j0 = jcol3 == 0
 
+        lane_n = jax.lax.broadcasted_iota(jnp.int32, (Bt, P, 1), 1)
+        jc128 = jax.lax.broadcasted_iota(jnp.int32, (Bt, P, 128), 2)
+
         def subl(v, a):
             """Extract path lane ``a`` (sublane axis) -> [Bt, 1, Lp]."""
             return jnp.max(
                 jnp.where(lane3 == a, v, NEG), axis=1, keepdims=True
             )
 
-        def lane0b(v):
-            """Broadcast column 0 of v over all columns."""
-            c0 = jnp.max(jnp.where(jcol3 == 0, v, NEG), axis=2,
-                         keepdims=True)
-            return jnp.broadcast_to(c0, v.shape)
+        def subl_n(v, a):
+            """Narrow ([Bt, P, 1]) path-lane extract -> [Bt, 1, 1]."""
+            return jnp.max(
+                jnp.where(lane_n == a, v, NEG), axis=1, keepdims=True
+            )
 
         @pl.when(step == 0)
         def _():
@@ -164,9 +169,8 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
             row0[:, :, :] = r0
             prevD[:, :, :] = r0
             prevY[:, :, :] = r0
-            zz = jnp.zeros((Bt, P, Lp), jnp.int32)
-            prevX[:, :, :] = zz
-            outX[:, :, :] = zz
+            x0prevn[:, :, :] = jnp.zeros((Bt, P, 1), jnp.int32)
+            outX[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
             # write rows 0 and n-1 (X row 0 is zeros; row n-1 all zeros)
             if "init" not in strip:
                 for dst, src in ((dm_any, row0), (y_any, row0),
@@ -216,66 +220,85 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
             sub3 = sub_ref[code_i][:, None, :]               # [Bt, 1, Lp]
 
             # ---- first column -> x0buf (gap.rs:35-147) ----
+            # the whole first-column program is column-constant, so it
+            # runs on [Bt, P, 1] narrow planes (prev row's first column
+            # lives in x0prevn — outX column 0 IS x0 for every row);
+            # consumers broadcast the narrow buf where a plane is needed
             if "x0" in strip:
-                x0buf[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
+                x0buf[:, :, :] = jnp.zeros((Bt, P, 1), jnp.int32)
             elif semiglobal:
-                x0buf[:, :, :] = jnp.zeros((Bt, P, Lp), jnp.int32)
+                x0buf[:, :, :] = jnp.zeros((Bt, P, 1), jnp.int32)
             else:
+                # both branches run unconditionally on the narrow
+                # planes and a select picks one: with the full-plane
+                # program this was measured SLOWER than the two
+                # pl.whens (commit 2abeb70), but the narrow ops are ~3
+                # vregs each and the per-row branch overhead dominated
+                # the r4 decomposition — only the pred DMAs stay
+                # predicated (start rows with a far pred)
+                ap = fap_ref[ii]
+                cap = (flags & F_FCAP) != 0
+                Xp0n = x0prevn[:, :, :]
+                xp_ai = subl_n(Xp0n, ai)
+                xp_ap = subl_n(Xp0n, ap)
+                x_ai_t = jnp.where(ii == 1, o + e, xp_ai + e)
+                x_ai_f = jnp.where(ii == 1, o + e, xp_ai + xp_ap + e)
+                x_ai = jnp.where(cap, x_ai_t, x_ai_f)
+                xm = jnp.where(cap, Xp0n, Xp0n - xp_ai)
+                fm = fmask_ref[r][None, :, None]
+                x0_ns = jnp.where(fm != 0, xm, 0)
+                x0_ns = jnp.where(lane_n == ai, x_ai, x0_ns)
 
-                @pl.when(~is_start)
-                def _():
-                    ap = fap_ref[ii]
-                    cap = (flags & F_FCAP) != 0
-                    Xp0b = lane0b(prevX[:, :, :])
-                    xp_ai = subl(Xp0b, ai)
-                    xp_ap = subl(Xp0b, ap)
-                    x_ai_t = jnp.where(ii == 1, o + e, xp_ai + e)
-                    x_ai_f = jnp.where(ii == 1, o + e, xp_ai + xp_ap + e)
-                    x_ai = jnp.where(cap, x_ai_t, x_ai_f)
-                    xm = jnp.where(cap, Xp0b, Xp0b - xp_ai)
-                    fm = fmask_ref[r][None, :, None]
-                    x0 = jnp.where(fm != 0, xm, 0)
-                    x0buf[:, :, :] = jnp.where(lane3 == ai, x_ai, x0)
+                x0 = jnp.zeros((Bt, P, 1), jnp.int32)
+                for s in range(MB):
+                    bf = bflags_ref[ii * MB + s]
+                    valid = ((bf & BF_VALID) != 0) & is_start & live
+                    pred_s = jnp.where(valid, bpred_ref[ii * MB + s], 0)
+                    if "dma" not in strip and "x0dma" not in strip:
 
-                @pl.when(is_start)
-                def _():
-                    x0 = jnp.zeros((Bt, P, Lp), jnp.int32)
-                    for s in range(MB):
-                        bf = bflags_ref[ii * MB + s]
-                        valid = ((bf & BF_VALID) != 0) & live
-                        pred_s = jnp.where(valid, bpred_ref[ii * MB + s], 0)
-                        fetch(x_any, predX, pred_s, ii - 1, 3)
-                        Xp0b = lane0b(
-                            jnp.where(pred_s == 0,
-                                      jnp.zeros((Bt, P, Lp), jnp.int32),
-                                      jnp.where(pred_s == ii - 1,
-                                                prevX[:, :, :],
-                                                predX[:, :, :]))
-                        )
-                        tb_s = btb_ref[ii * MB + s]
-                        ap_s = bap_ref[ii * MB + s]
-                        d_s = jnp.where((bf & BF_DELTA) != 0, 1, 0)
-                        xp_tb = subl(Xp0b, tb_s)
-                        xp_ap = subl(Xp0b, ap_s)
-                        x_tb = jnp.where(pred_s == 0, o + e,
-                                         xp_tb + d_s * xp_ap + e)
-                        xm = Xp0b - d_s * xp_tb
-                        mb = bmask_ref[r, s][None, :, None] != 0
-                        x0 = jnp.where(valid & mb, xm, x0)
-                        x0 = jnp.where(valid & (lane3 == tb_s), x_tb, x0)
-                    # insertion-order fixup (gap.rs:133-147)
-                    for s in range(MB):
-                        bf = bflags_ref[ii * MB + s]
-                        tb_s = btb_ref[ii * MB + s]
-                        fire = ((bf & BF_VALID) != 0) & (
-                            (bf & BF_FIRST) != 0) & (tb_s != ai) & live
-                        va = subl(x0, tb_s) - subl(x0, ai)
-                        x0 = jnp.where(fire & (lane3 == tb_s), va, x0)
-                        fx = bfix_ref[r, s][None, :, None] != 0
-                        x0 = jnp.where(fire & fx, x0 + va, x0)
-                    x0buf[:, :, :] = x0
+                        @pl.when((pred_s > 0) & (pred_s != ii - 1))
+                        def _(pred_s=pred_s):
+                            cp = pltpu.make_async_copy(
+                                x_any.at[pred_s, pl.ds(bo, Bt),
+                                         slice(None), pl.ds(0, 128)],
+                                predX0, rsem.at[3],
+                            )
+                            cp.start()
+                            cp.wait()
 
-            x0 = x0buf[:, :, :]
+                    pc0 = jnp.max(
+                        jnp.where(jc128 == 0, predX0[:, :, :], NEG),
+                        axis=2, keepdims=True,
+                    )
+                    Xp0n = jnp.where(
+                        pred_s == 0, jnp.zeros((Bt, P, 1), jnp.int32),
+                        jnp.where(pred_s == ii - 1,
+                                  x0prevn[:, :, :], pc0))
+                    tb_s = btb_ref[ii * MB + s]
+                    ap_s = bap_ref[ii * MB + s]
+                    d_s = jnp.where((bf & BF_DELTA) != 0, 1, 0)
+                    xp_tb = subl_n(Xp0n, tb_s)
+                    xp_ap = subl_n(Xp0n, ap_s)
+                    x_tb = jnp.where(pred_s == 0, o + e,
+                                     xp_tb + d_s * xp_ap + e)
+                    xm = Xp0n - d_s * xp_tb
+                    mb = bmask_ref[r, s][None, :, None] != 0
+                    x0 = jnp.where(valid & mb, xm, x0)
+                    x0 = jnp.where(valid & (lane_n == tb_s), x_tb, x0)
+                # insertion-order fixup (gap.rs:133-147)
+                for s in range(MB):
+                    bf = bflags_ref[ii * MB + s]
+                    tb_s = btb_ref[ii * MB + s]
+                    fire = ((bf & BF_VALID) != 0) & (
+                        (bf & BF_FIRST) != 0) & (tb_s != ai) & is_start \
+                        & live
+                    va = subl_n(x0, tb_s) - subl_n(x0, ai)
+                    x0 = jnp.where(fire & (lane_n == tb_s), va, x0)
+                    fx = bfix_ref[r, s][None, :, None] != 0
+                    x0 = jnp.where(fire & fx, x0 + va, x0)
+                x0buf[:, :, :] = jnp.where(is_start, x0, x0_ns)
+
+            x0 = x0buf[:, :, :]                            # [Bt, P, 1]
 
             # ---- easy pred planes (start rows DMA; others use prev;
             # pred == i-1 reads prev* — see fetch) ----
@@ -326,7 +349,7 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                 base = pD_ap + d32 * pD_ai
                 d_col = pltpu.roll(base, 1, 2) + sub3        # col 0 unused
                 const = jnp.maximum(d_col, y_a)
-                x0_ai = subl(x0, ai)
+                x0_ai = subl_n(x0, ai)
                 q = const - e * jc1
                 q = jnp.where(jc1 == 0,
                               jnp.maximum(x0_ai, x0_ai - o), q)
@@ -479,7 +502,7 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
                     ownT = jnp.transpose(bownid_ref[r : r + 1, :])  # [P,1]
                     hotT = jnp.transpose(bhot_ref[r : r + 1, :]) != 0
                     hotlT = jnp.transpose(bhotl_ref[r : r + 1, :]) != 0
-                    x0c = jnp.max(jnp.where(j0, x0, NEG), 2)  # [Bt, P]
+                    x0c = jnp.max(x0, 2)      # [Bt, P] (narrow)
                     x0t = jnp.transpose(x0c)                  # [P, Bt]
                     # column-invariant per-block state, hoisted out of
                     # the fori_loop body (each was recomputed per
@@ -615,7 +638,7 @@ def _make_kernel(R: int, MB: int, Bt: int, P: int, semiglobal: bool,
             @pl.when(live)
             def _():
                 prevD[:, :, :] = Drow
-                prevX[:, :, :] = Xrow
+                x0prevn[:, :, :] = x0buf[:, :, :]
                 prevY[:, :, :] = Yrow
                 if "commit" not in strip:
                     # start only — the wait is deferred to the point
@@ -719,8 +742,20 @@ def fill_gap67_pallas(xs, table, seq, o, e, semiglobal, interpret=False,
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((Bt, P, Lp), jnp.int32)
-                    for _ in range(14)
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # prevD
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # prevY
+                    pltpu.VMEM((Bt, P, 1), jnp.int32),     # x0prevn
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # row0
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # predD
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # predY
+                    pltpu.VMEM((Bt, P, 128), jnp.int32),   # predX0
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # ycs
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # yfx
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # dfds
+                    pltpu.VMEM((Bt, P, 1), jnp.int32),     # x0buf
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # outD
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # outX
+                    pltpu.VMEM((Bt, P, Lp), jnp.int32),    # outY
                 ] + [
                     pltpu.VMEM((CT, MB, Bt), jnp.int32),   # uT
                     pltpu.VMEM((CT, MB, Bt), jnp.int32),   # dcT
