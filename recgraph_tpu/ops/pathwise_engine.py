@@ -429,7 +429,14 @@ def _record_from_walk(dirs, rows, n_steps, stop_i, g, bp, ending_node, score):
 
 
 LONG_READ_LP = 1024   # mode-4 reads at least this long use windowed rows
-_pw_w_hint: dict[int, int] = {}
+_pw_w_hint: dict[tuple, int] = {}
+
+
+def _graph_hint_key(g, dg) -> tuple:
+    """Settled-window-hint key: a real graph+scoring-independent graph
+    identity (n alone collided two same-size graphs — ADVICE r4)."""
+    codes = np.asarray(g.codes)
+    return (dg.n, dg.paths_number, hash(codes.tobytes()))
 
 
 def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
@@ -450,7 +457,14 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
     rep_of, pred_of = pathwise_meta(g)
     pred_of_full = jnp.asarray(pred_of)                    # [n, P]
     Lp_all = _align_lp(sequences)
-    if not semiglobal and Lp_all >= LONG_READ_LP:
+    # The windowed fill's non-rep replay is packed-chain ONLY (17-bit
+    # col|value field): when 2*Lp*max|score| >= 2^16 the value spills
+    # into the column bits and decodes as an OVERESTIMATE, which can
+    # defeat the exit-bound guard (ADVICE r4, high).  Route such
+    # batches to the full-width engine, whose encode_chain=False
+    # variant is exact at any magnitude.
+    fits = 2 * Lp_all * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+    if not semiglobal and Lp_all >= LONG_READ_LP and fits:
         return _run_batch_walks_win(
             sequences, g, dg, table, sm, pred_of_full, chunk_bytes
         )
@@ -602,67 +616,78 @@ def _run_batch_walks_win(sequences, g, dg, table, sm, pred_of_full,
     rmin = jnp.asarray(_rmin(dg))
     node_start = jnp.asarray(g.node_start)
     Lp_all = _align_lp(sequences)
-    W0 = _pw_w_hint.get(dg.n, 256)
+    hint_key = _graph_hint_key(g, dg)
+    W0 = _pw_w_hint.get(hint_key, 256)
     if W0 >= Lp_all:   # stale hint from a longer-read batch
         W0 = 256
-    # chunk on the expected ladder width; doubling reruns only the
-    # guard failures, normally a small sub-batch
-    per_read = P * n * min(2 * W0, Lp_all) * 4
-    chunk = max(1, int(chunk_bytes // per_read))
     max_steps = n + Lp_all + 4
+
+    def win_pass(idxs, W):
+        """One fill+guard+emit pass at width W; returns failed idxs."""
+        sub = [sequences[i] for i in idxs]
+        seq, L = encode_reads(sub, pad_to=Lp_all)
+        Aw, ws, bound = fill_win(dg, table, seq, L, W, rmin)
+        finalcol = np.asarray(jax.device_get(_final_column_win(Aw, ws, L)))
+        boundh = np.asarray(jax.device_get(bound))
+        bps, nodes, scores, passed = [], [], [], []
+        for b in range(len(sub)):
+            bp, node = _endings_global(finalcol[b], g)
+            bps.append(bp)
+            nodes.append(node)
+            scores.append(int(finalcol[b, bp, node]))
+            passed.append(scores[-1] > int(boundh[b]))
+        if any(passed):
+            bps_j = encode_read_aux(bps)
+            planes = _extract_plane(Aw, bps_j)             # [B, n, W]
+            del Aw
+            pred_of_bp = jnp.take_along_axis(
+                jnp.broadcast_to(
+                    pred_of_full.T[None], (seq.shape[0], P, n)
+                ),
+                bps_j[:, None, None], axis=1,
+            )[:, 0]
+            dirs, rows, steps, stop_i = _walk_pathwise(
+                planes, seq, L, table, node_start, dg.codes,
+                pred_of_bp, encode_read_aux(nodes),
+                global_mode=True, max_steps=max_steps, ws=ws,
+            )
+            del planes
+            kmax = min(
+                max_steps,
+                (int(jax.device_get(steps.max())) + 255) // 256 * 256,
+            )
+            dirs, rows, steps, stop_i = jax.device_get(
+                (dirs[:, :kmax], rows[:, :kmax], steps, stop_i)
+            )
+            for b, i_orig in enumerate(idxs):
+                if passed[b]:
+                    out[i_orig] = _gaf_from_walk(
+                        dirs[b], rows[b], int(steps[b]), int(stop_i[b]),
+                        g, bps[b], nodes[b], scores[b], sub[b],
+                    )
+        else:
+            del Aw
+        return [i for b, i in enumerate(idxs) if not passed[b]]
+
     out: dict[int, GafRecord] = {}
     fullwidth_idx: list[int] = []
+    # chunk on the expected ladder width …
+    chunk = max(1, int(chunk_bytes // (P * n * min(2 * W0, Lp_all) * 4)))
     for c0 in range(0, len(sequences), chunk):
         _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
         idxs = list(range(c0, min(c0 + chunk, len(sequences))))
         W = W0
         while idxs and W < Lp_all:
-            sub = [sequences[i] for i in idxs]
-            seq, L = encode_reads(sub, pad_to=Lp_all)
-            Aw, ws, bound = fill_win(dg, table, seq, L, W, rmin)
-            finalcol = np.asarray(jax.device_get(_final_column_win(Aw, ws, L)))
-            boundh = np.asarray(jax.device_get(bound))
-            bps, nodes, scores, passed = [], [], [], []
-            for b in range(len(sub)):
-                bp, node = _endings_global(finalcol[b], g)
-                bps.append(bp)
-                nodes.append(node)
-                scores.append(int(finalcol[b, bp, node]))
-                passed.append(scores[-1] > int(boundh[b]))
-            if any(passed):
-                bps_j = encode_read_aux(bps)
-                planes = _extract_plane(Aw, bps_j)         # [B, n, W]
-                del Aw
-                pred_of_bp = jnp.take_along_axis(
-                    jnp.broadcast_to(
-                        pred_of_full.T[None], (seq.shape[0], P, n)
-                    ),
-                    bps_j[:, None, None], axis=1,
-                )[:, 0]
-                dirs, rows, steps, stop_i = _walk_pathwise(
-                    planes, seq, L, table, node_start, dg.codes,
-                    pred_of_bp, encode_read_aux(nodes),
-                    global_mode=True, max_steps=max_steps, ws=ws,
-                )
-                del planes
-                kmax = min(
-                    max_steps,
-                    (int(jax.device_get(steps.max())) + 255) // 256 * 256,
-                )
-                dirs, rows, steps, stop_i = jax.device_get(
-                    (dirs[:, :kmax], rows[:, :kmax], steps, stop_i)
-                )
-                for b, i_orig in enumerate(idxs):
-                    if passed[b]:
-                        out[i_orig] = _gaf_from_walk(
-                            dirs[b], rows[b], int(steps[b]), int(stop_i[b]),
-                            g, bps[b], nodes[b], scores[b], sub[b],
-                        )
-            else:
-                del Aw
-            idxs = [i for b, i in enumerate(idxs) if not passed[b]]
+            # … but RE-chunk at every rung: W can double to ~Lp/2, and
+            # rerunning a whole W0-sized chunk there holds Lp/(4*W0)x
+            # the plane budget — the r4 B=32 worker OOM (ADVICE r4)
+            rung = max(1, int(chunk_bytes // (P * n * W * 4)))
+            failed: list[int] = []
+            for s0 in range(0, len(idxs), rung):
+                failed.extend(win_pass(idxs[s0 : s0 + rung], W))
+            idxs = failed
             if not idxs:
-                _pw_w_hint[dg.n] = W
+                _pw_w_hint[hint_key] = W
             W *= 2
         fullwidth_idx.extend(idxs)
     if fullwidth_idx:

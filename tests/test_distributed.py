@@ -107,10 +107,13 @@ def test_two_process_overhead_projection(tmp_path):
         assert m, se[-1500:]
         stats.append(tuple(float(x) for x in m.groups()))
     align = min(s[2] for s in stats)
-    # the later host's gather is barrier-wait-free: pure merge cost
+    # the later host's gather is barrier-wait-free: pure merge cost.
+    # Assert only an absolute ceiling (the merge is a ~KB file concat;
+    # 2s allows a loaded CI host) and PRINT the ratio the projection
+    # uses — a wall-clock ratio across subprocesses flakes (r4 ADVICE).
     gather_pure = min(s[3] for s in stats)
-    assert gather_pure < 0.25 * align, (stats, "merge cost should be a "
-                                        "trivial fraction of align")
+    assert gather_pure < 2.0, (stats, "pure merge cost should be bounded")
+    print(f"# gather_pure/align ratio: {gather_pure / align:.3f}")
     # efficiency projection: eff(N) = W / (W + N*(F_b + m) - F_b) with
     # W = align (scales 1/N), m = pure gather; the barrier-wait part of
     # setup/gather is skew, which exists at N=1 too (it is not overhead

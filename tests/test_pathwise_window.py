@@ -82,7 +82,24 @@ def test_windowed_records_byte_equal(long_path_corpus, monkeypatch):
     assert win == full
     # the guard passed (no full-width rerun) and the W hint settled
     assert FALLBACKS.get("pathwise_win_fullwidth", 0) == before
-    assert pathwise_engine._pw_w_hint.get(g.n, 0) >= 256
+    key = pathwise_engine._graph_hint_key(g, path_device_graph(g))
+    assert pathwise_engine._pw_w_hint.get(key, 0) >= 256
+
+
+def test_w_hint_keyed_by_graph_identity():
+    """Two different graphs with the SAME row count must not share a
+    settled-width hint (r4 ADVICE: the hint was keyed by dg.n only)."""
+    import types
+
+    g1 = types.SimpleNamespace(codes=np.arange(64, dtype=np.int32))
+    g2 = types.SimpleNamespace(codes=np.arange(64, dtype=np.int32)[::-1].copy())
+    dg = types.SimpleNamespace(n=64, paths_number=3)
+    k1 = pathwise_engine._graph_hint_key(g1, dg)
+    k2 = pathwise_engine._graph_hint_key(g2, dg)
+    assert k1 != k2
+    # and the same graph content maps to the same key across objects
+    g3 = types.SimpleNamespace(codes=np.arange(64, dtype=np.int32))
+    assert pathwise_engine._graph_hint_key(g3, dg) == k1
 
 
 def test_windowed_plane_lower_bounds_full(tmp_path):
@@ -151,6 +168,61 @@ def test_mixed_short_and_long_batch(long_path_corpus, monkeypatch):
     monkeypatch.setattr(pathwise_engine, "LONG_READ_LP", 1024)
     pathwise_engine._pw_w_hint.clear()
     assert _records(4, mixed, g, sm) == full
+
+
+def test_overflow_scores_route_full_width(long_path_corpus, monkeypatch):
+    """When 2*Lp*max|score| >= 2^16, the windowed fill's 17-bit packed
+    replay would overflow into the column field and decode as an
+    OVERESTIMATE, defeating the exit-bound guard (r4 ADVICE, high).
+    Such batches must never reach the windowed engine."""
+    g, reads = long_path_corpus
+    sm = ScoreMatrix.create("none", 1000, -2000)
+    monkeypatch.setattr(pathwise_engine, "LONG_READ_LP", 1024)
+
+    def boom(*a, **k):
+        raise AssertionError("overflow batch reached the windowed engine")
+
+    monkeypatch.setattr(pathwise_engine, "_run_batch_walks_win", boom)
+    recs = _records(4, reads[:1], g, sm)
+    assert len(recs) == 1
+
+
+def test_ladder_rechunks_at_doubled_width(long_path_corpus, monkeypatch):
+    """Every windowed fill call must respect the plane budget even after
+    W doubles (r4 ADVICE, medium: the ladder reran the whole W0-sized
+    chunk at up to ~Lp/2, a ~Lp/(4*W0)x budget blowout)."""
+    import recgraph_tpu.ops.pathwise_window as pw
+
+    g, reads = long_path_corpus
+    sm = ScoreMatrix.create("none", 2, -4)
+    monkeypatch.setattr(pathwise_engine, "LONG_READ_LP", 1 << 30)
+    full = _records(4, reads, g, sm)
+    monkeypatch.setattr(pathwise_engine, "LONG_READ_LP", 1024)
+    pathwise_engine._pw_w_hint.clear()
+    orig = pw._fill_pathwise_win
+    calls = []
+
+    def spy(dg, table, seq, L, W, rmin=None):
+        calls.append((seq.shape[0], W))
+        Aw, ws, bound = orig(dg, table, seq, L, W, rmin)
+        if W < 1024:   # force the ladder to climb to W=1024
+            return Aw, ws, bound + (1 << 20)
+        return Aw, ws, bound
+
+    monkeypatch.setattr(pw, "_fill_pathwise_win", spy)
+    P, n = g.paths_number, g.n
+    # 3 reads/chunk at the W0=256 planning width; 1 read at W=1024
+    chunk_bytes = P * n * 512 * 4 * 3
+    win = [
+        r.to_string()
+        for r in pathwise_engine.run_batch_walks(
+            4, ["$" + r for r in reads], g, sm, chunk_bytes=chunk_bytes
+        )
+    ]
+    assert win == full
+    assert {W for _, W in calls} == {256, 512, 1024}
+    for B, W in calls:
+        assert B * P * n * W * 4 <= max(chunk_bytes, P * n * W * 4), (B, W)
 
 
 def test_ladder_fullwidth_fallback_plumbing(long_path_corpus, monkeypatch):
