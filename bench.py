@@ -242,47 +242,77 @@ def longread_bench(line, iters, base_scalar):
               file=sys.stderr)
 
     # ---- mode 4 windowed (pathwise long reads — reference is full-width)
+    # Ladder W exactly as production does (pathwise_engine
+    # _run_batch_walks_win: fill at W, accept strict guard passes,
+    # double W for the rest, re-chunking the plane budget per rung) and
+    # time the ACCEPTED configuration; the r4 number timed a W=256 fill
+    # whose guard failed for every read (VERDICT r4 weak #2).
     pg = PathGraph.from_gfa(parsed, is_reversed=False)
     pdg = path_device_graph(pg)
-    B4 = 16  # the k=4 chain at B=32 held ~5 GB of windowed planes and
-    # crashed the TPU worker (r4); B=16 with k_hi=2 stays well under
-    seq4, L4 = encode_reads(
-        reads[:B4], pad_to=pathwise_engine._align_lp(reads[:B4])
-    )
-    rmin = jnp.asarray(_rmin(pdg))
-    W4 = 256
-    fill_win = pathwise_engine._pick_win_fill(pdg, table)
-    Aw, ws, bound = fill_win(pdg, table, seq4, L4, W4, rmin)
-    fc = np.asarray(jax.device_get(_final_column_win(Aw, ws, L4)))
-    bh = np.asarray(jax.device_get(bound))
-    npass = sum(
-        int(fc[b, pathwise_engine._endings_global(fc[b], pg)[0],
-               pathwise_engine._endings_global(fc[b], pg)[1]]) > int(bh[b])
-        for b in range(B4)
-    )
-    del Aw
     P = pdg.paths_number
-    cells4_full = B4 * pdg.n * seq4.shape[1] * P
+    rmin = jnp.asarray(_rmin(pdg))
+    fill_win = pathwise_engine._pick_win_fill(pdg, table)
+    budget = 1 << 29          # pathwise_engine default chunk_bytes
+    Lp4 = pathwise_engine._align_lp(reads[:16])
 
-    def chained4(k):
-        @jax.jit
-        def fn(seq):
-            tot = jnp.int32(0)
-            s = seq
-            for _ in range(k):
-                Aw, ws, bound = fill_win(pdg, table, s, L4, W4, rmin)
-                tot = tot + Aw.reshape(-1)[123] + jnp.sum(bound)
-                s = jnp.roll(seq, tot & 3, axis=0)
-            return tot
+    def rung_B(W):
+        return max(1, min(16, budget // (P * pdg.n * W * 4)))
 
-        return lambda: int(fn(seq4))
+    def guard_pass(W, Bsub):
+        seqW, LW = encode_reads(reads[:Bsub], pad_to=Lp4)
+        Aw, ws, bound = fill_win(pdg, table, seqW, LW, W, rmin)
+        fc = np.asarray(jax.device_get(_final_column_win(Aw, ws, LW)))
+        bh = np.asarray(jax.device_get(bound))
+        del Aw
+        return sum(
+            int(fc[b, pathwise_engine._endings_global(fc[b], pg)[0],
+                   pathwise_engine._endings_global(fc[b], pg)[1]])
+            > int(bh[b])
+            for b in range(Bsub)
+        )
 
-    dt = slope_time(chained4, iters, k_hi=2)
+    W4, rejected = 256, []
+    while True:
+        B4 = rung_B(W4)
+        npass = guard_pass(W4, B4)
+        if npass == B4 or W4 * 2 >= Lp4:
+            break
+        rejected.append((W4, B4))
+        W4 *= 2
+
+    def chained4_at(W, Bsub):
+        seqW, LW = encode_reads(reads[:Bsub], pad_to=Lp4)
+
+        def chained(k):
+            @jax.jit
+            def fn(seq):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    Aw, ws, bound = fill_win(pdg, table, s, LW, W, rmin)
+                    tot = tot + Aw.reshape(-1)[123] + jnp.sum(bound)
+                    s = jnp.roll(seq, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seqW))
+
+        return chained
+
+    dt = slope_time(chained4_at(W4, B4), iters, k_hi=2)
+    # effective throughput charges the rejected rungs' fills too (the
+    # first chunk pays them; later chunks start at the settled W hint)
+    t_ladder = sum(
+        slope_time(chained4_at(Wr, Br), 2, k_hi=2) for Wr, Br in rejected
+    )
+    cells4_full = B4 * pdg.n * Lp4 * P
+    eff = cells4_full / (dt + t_ladder) / 1e9
     line(
-        "pathwise_longread_throughput", cells4_full / dt / 1e9, base_scalar,
+        "pathwise_longread_throughput", eff, base_scalar,
         f"mode4 longread B={B4} P={P} W={W4} per-fill={dt*1e3:.1f}ms "
-        f"guard-pass {npass}/{B4}; full-equivalent cells (the reference "
-        f"is full-width here)",
+        f"guard-pass {npass}/{B4}; effective incl. rejected rungs "
+        f"{[(Wr, Br) for Wr, Br in rejected]} (+{t_ladder*1e3:.1f}ms); "
+        f"settled-W-only {cells4_full/dt/1e9:.2f} Gcells/s; "
+        f"full-equivalent cells (the reference is full-width here)",
     )
 
 

@@ -23,3 +23,34 @@ Layer map (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, on by default.
+
+    The r5 stretch-e2e phase breakdown showed ~95% of a cold 2k-read
+    production run is XLA compilation (61.2s of 63.1s wall on the
+    remote-compile path); the reference has no compile step at all.
+    A warm disk cache removes it for every run after the first.
+    Opt out with RECGRAPH_NO_COMPILE_CACHE=1; an explicitly configured
+    jax cache dir (flag or JAX_COMPILATION_CACHE_DIR) is respected.
+    """
+    import os
+
+    if os.environ.get("RECGRAPH_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "recgraph_tpu", "xla"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()

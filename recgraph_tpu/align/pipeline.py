@@ -212,6 +212,9 @@ def run(opts: Options) -> None:
     import contextlib
     import os
 
+    from ..metrics import ensure_compile_listener
+
+    ensure_compile_listener()
     profile_dir = os.environ.get("RECGRAPH_PROFILE")
     ctx = contextlib.nullcontext()
     if profile_dir:
@@ -319,7 +322,10 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
 
     from ..parallel import distributed
 
-    sequences, names = fasta.get_sequences(opts.sequence_path)
+    from ..metrics import phase
+
+    with phase("parse"):
+        sequences, names = fasta.get_sequences(opts.sequence_path)
     host_offset = 0
     if nproc > 1:
         if opts.out_file == "standard output":
@@ -364,7 +370,8 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
             if not sequences:
                 print("Done in 0.", file=sys.stderr)
                 return
-    parsed = gfa.parse_gfa(opts.graph_path)
+    with phase("parse"):
+        parsed = gfa.parse_gfa(opts.graph_path)
     sm = ScoreMatrix.create(opts.matrix, opts.match_score, -opts.mismatch_score)
     writer = GafWriter(opts.out_file, number_offset=resume_skip + host_offset)
     mode = opts.alignment_mode
@@ -506,13 +513,19 @@ def _run_host(opts: Options, pid: int, nproc: int, t0: float) -> None:
             len(s) for s in parsed.segments.values()
         )
         cells = sum(len(s) for s in sequences) * n_rows
-        from ..metrics import fallback_summary
+        from ..metrics import fallback_summary, phase_summary
 
         print(
             f"metrics: reads={len(sequences)} reads/s={len(sequences)/dt:.1f} "
             f"cells/s={cells/dt:.3e} wall_s={dt:.3f} {fallback_summary()}",
             file=sys.stderr,
         )
+        ps = phase_summary()
+        if ps:
+            # per-phase attribution of the e2e wall (exclusive times;
+            # compile is measured via jax monitoring events and is a
+            # subset of dispatch/device_wait)
+            print(ps, file=sys.stderr)
 
 
 def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
@@ -523,6 +536,7 @@ def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
     score, main.rs:82-101,160-164,188-209,245-249).
     """
     from .. import native
+    from ..metrics import phase
     from ..ops import poa_engine
 
     o, e = -opts.gap_open, -opts.gap_extension
@@ -538,7 +552,8 @@ def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
                 "Band length probably too short, maybe try with larger b and f",
                 file=sys.stderr,
             )
-    records = _emit_records(mode, states, sequences, names, False, g)
+    with phase("emit"):
+        records = _emit_records(mode, states, sequences, names, False, g)
 
     if opts.amb_strand:
         retry = [
@@ -562,5 +577,6 @@ def _run_poa_batched(opts, mode, sequences, names, g, sm, writer, rev_graph):
                 else:
                     records[i] = rec_r if st_r.score > states[i].score else records[i]
 
-    for i, rec in enumerate(records):
-        writer.write(rec.to_string(), i + 1)
+    with phase("write"):
+        for i, rec in enumerate(records):
+            writer.write(rec.to_string(), i + 1)

@@ -8,6 +8,8 @@ visible in the diagnostics (VERDICT r2 weak #3).
 
 from __future__ import annotations
 
+import contextlib
+import time
 from collections import Counter
 
 FALLBACKS: Counter = Counter()
@@ -22,3 +24,87 @@ def fallback_summary() -> str:
         return "fallbacks=0"
     items = " ".join(f"{k}={v}" for k, v in sorted(FALLBACKS.items()))
     return f"fallbacks={sum(FALLBACKS.values())} ({items})"
+
+
+# ---------------------------------------------------------------------------
+# per-phase wall-clock accounting (VERDICT r4 #1: the stretch e2e gap
+# needs a measured attribution, not an asserted one).  Phases nest by
+# accumulating EXCLUSIVE time: a phase() inside another phase() charges
+# the inner name and subtracts itself from the enclosing frame.
+# ---------------------------------------------------------------------------
+
+PHASES: Counter = Counter()           # name -> exclusive seconds
+_stack: list[list] = []               # [name, child_seconds] frames
+
+
+@contextlib.contextmanager
+def phase(name: str):
+    t0 = time.perf_counter()
+    _stack.append([name, 0.0])
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        _, child = _stack.pop()
+        PHASES[name] += dt - child
+        if _stack:
+            _stack[-1][1] += dt
+
+
+def reset_phases() -> None:
+    PHASES.clear()
+    _stack.clear()
+
+
+def phases_dict() -> dict:
+    d = {k: round(v, 3) for k, v in PHASES.items()}
+    if _compile_secs[0]:
+        d["compile"] = round(_compile_secs[0], 3)
+    if _cache_load_secs[0]:
+        d["cache_load"] = round(_cache_load_secs[0], 3)
+    return d
+
+
+def phase_summary() -> str:
+    if not PHASES:
+        return ""
+    items = " ".join(
+        f"{k}={v:.3f}" for k, v in sorted(
+            phases_dict().items(), key=lambda kv: -kv[1]
+        )
+    )
+    return f"phases: {items}"
+
+
+# XLA compile time is measured via jax's monitoring events, so it is
+# separable from the dispatch phase that triggers it.  Exact-match the
+# event names: '/jax/compilation_cache/compile_time_saved_sec' also
+# contains "compile" but measures time NOT spent (cache hits).
+_BACKEND_COMPILE = "/jax/core/compile/backend_compile_duration"
+_CACHE_LOAD = "/jax/compilation_cache/cache_retrieval_time_sec"
+_compile_secs: list[float] = [0.0]
+_cache_load_secs: list[float] = [0.0]
+_listener_on: list[bool] = [False]
+
+
+def _on_event_duration(event: str, duration: float, **kw) -> None:
+    if event == _BACKEND_COMPILE:
+        _compile_secs[0] += duration
+    elif event == _CACHE_LOAD:
+        _cache_load_secs[0] += duration
+
+
+def ensure_compile_listener() -> None:
+    if _listener_on[0]:
+        return
+    try:
+        from jax import monitoring
+
+        monitoring.register_event_duration_secs_listener(_on_event_duration)
+        _listener_on[0] = True
+    except Exception:
+        pass
+
+
+def compile_seconds() -> float:
+    return _compile_secs[0]

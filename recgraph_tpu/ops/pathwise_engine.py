@@ -476,6 +476,8 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
 
 def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
                           pred_of_full, Lp_all, chunk_bytes) -> list[GafRecord]:
+    from ..metrics import phase
+
     n, P = dg.n, dg.paths_number
     records = []
     per_read = P * n * Lp_all * 4
@@ -485,59 +487,75 @@ def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
         from ..watchdog import progress as _wd_progress
         _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
         chunk_seqs = sequences[c0 : c0 + chunk]
-        seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
+        # keep every chunk the same compiled shape (trailing chunk pads
+        # with read 0; the emit loop below runs over chunk_seqs only)
+        pad_n = chunk - len(chunk_seqs) if c0 > 0 else 0
+        enc_seqs = chunk_seqs + [chunk_seqs[0]] * pad_n
+        with phase("encode"):
+            seq, L = encode_reads(enc_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
-        A = fill_pathwise_best(dg, table, seq, semiglobal, fits)
-        finalcol = np.asarray(jax.device_get(_final_column(A, L)))
+        with phase("dispatch"):
+            A = fill_pathwise_best(dg, table, seq, semiglobal, fits)
+            fc = _final_column(A, L)
+        with phase("device_wait"):
+            finalcol = np.asarray(jax.device_get(fc))
         bps, nodes, scores = [], [], []
-        for b in range(len(chunk_seqs)):
-            if semiglobal:
-                bp, node = _endings_semiglobal(finalcol[b], g)
-            else:
-                bp, node = _endings_global(finalcol[b], g)
-            bps.append(bp)
-            nodes.append(node)
-            scores.append(int(finalcol[b, bp, node]))
-        bps_j = encode_read_aux(bps)
-        planes = _extract_plane(A, bps_j)
-        pred_of_bp = jnp.take_along_axis(
-            jnp.broadcast_to(pred_of_full.T[None], (seq.shape[0], P, n)),
-            bps_j[:, None, None], axis=1,
-        )[:, 0]
-        dirs, rows, steps, stop_i = _walk_pathwise(
-            planes, seq, L, table, jnp.asarray(g.node_start),
-            dg.codes, pred_of_bp, encode_read_aux(nodes),
-            global_mode=not semiglobal, max_steps=W,
-        )
+        with phase("host_tb"):
+            for b in range(len(chunk_seqs)):
+                if semiglobal:
+                    bp, node = _endings_semiglobal(finalcol[b], g)
+                else:
+                    bp, node = _endings_global(finalcol[b], g)
+                bps.append(bp)
+                nodes.append(node)
+                scores.append(int(finalcol[b, bp, node]))
+        with phase("dispatch"):
+            bps_j = encode_read_aux(bps + bps[:1] * pad_n)
+            planes = _extract_plane(A, bps_j)
+            pred_of_bp = jnp.take_along_axis(
+                jnp.broadcast_to(pred_of_full.T[None], (seq.shape[0], P, n)),
+                bps_j[:, None, None], axis=1,
+            )[:, 0]
+            dirs, rows, steps, stop_i = _walk_pathwise(
+                planes, seq, L, table, jnp.asarray(g.node_start),
+                dg.codes, pred_of_bp,
+                encode_read_aux(nodes + nodes[:1] * pad_n),
+                global_mode=not semiglobal, max_steps=W,
+            )
         del A, planes
-        kmax = min(W, (int(jax.device_get(steps.max())) + 255) // 256 * 256)
+        with phase("device_wait"):
+            kmax = min(W, (int(jax.device_get(steps.max())) + 255) // 256 * 256)
         dirs = dirs[:, :kmax]
         rows = rows[:, :kmax]
-        dirs, rows, steps, stop_i = jax.device_get((dirs, rows, steps, stop_i))
-        for b, s in enumerate(chunk_seqs):
-            handle_dedup, path_len, path_start, path_end, comments = (
-                _record_from_walk(
-                    dirs[b], rows[b], int(steps[b]), int(stop_i[b]), g,
-                    bps[b], nodes[b], scores[b],
-                )
+        with phase("fetch"):
+            dirs, rows, steps, stop_i = jax.device_get(
+                (dirs, rows, steps, stop_i)
             )
-            records.append(
-                GafRecord(
-                    query_name="Temp",
-                    query_length=len(s) - 1,
-                    query_start=0,
-                    query_end=len(s) - 2,
-                    strand="+",
-                    path=handle_dedup,
-                    path_length=path_len,
-                    path_start=path_start,
-                    path_end=path_end,
-                    residue_matches_number=0,
-                    alignment_block_length="*",
-                    mapping_quality="*",
-                    comments=comments,
+        with phase("emit"):
+            for b, s in enumerate(chunk_seqs):
+                handle_dedup, path_len, path_start, path_end, comments = (
+                    _record_from_walk(
+                        dirs[b], rows[b], int(steps[b]), int(stop_i[b]), g,
+                        bps[b], nodes[b], scores[b],
+                    )
                 )
-            )
+                records.append(
+                    GafRecord(
+                        query_name="Temp",
+                        query_length=len(s) - 1,
+                        query_start=0,
+                        query_end=len(s) - 2,
+                        strand="+",
+                        path=handle_dedup,
+                        path_length=path_len,
+                        path_start=path_start,
+                        path_end=path_end,
+                        residue_matches_number=0,
+                        alignment_block_length="*",
+                        mapping_quality="*",
+                        comments=comments,
+                    )
+                )
     return records
 
 

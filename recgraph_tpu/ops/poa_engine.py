@@ -912,10 +912,18 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
     """
     from . import traceback_engine
     from .. import native
+    from ..metrics import phase
 
     if len(sequences) > CHUNK_READS:
         from ..watchdog import progress as _wd_progress
 
+        # ONE compiled shape for every chunk: pad Lp corpus-wide and pad
+        # the trailing chunk's batch up to CHUNK_READS with copies of
+        # its first read (drain slices them off).  The r5 phase
+        # breakdown showed per-chunk shape drift recompiling the fill
+        # on the remote-compile path (~15-20s per shape) dominated the
+        # stretch e2e wall.
+        pad_to = max(len(s) for s in sequences)
         out = []
         pending = None
         starts = list(range(0, len(sequences), CHUNK_READS))
@@ -923,24 +931,36 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
             _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
             nxt = None
             if c is not None:
-                nxt = _dispatch_walks(
-                    mode, sequences[c : c + CHUNK_READS], g, sm, o, e,
-                    btas[c : c + CHUNK_READS],
-                )
+                chunk = sequences[c : c + CHUNK_READS]
+                cbtas = btas[c : c + CHUNK_READS]
+                n_real = len(chunk)
+                if n_real < CHUNK_READS:
+                    fill_n = CHUNK_READS - n_real
+                    chunk = chunk + [chunk[0]] * fill_n
+                    cbtas = cbtas + [cbtas[0]] * fill_n
+                with phase("dispatch"):
+                    seqs_p, dev = _dispatch_walks(
+                        mode, chunk, g, sm, o, e, cbtas, pad_to=pad_to
+                    )
+                nxt = (seqs_p[:n_real], dev)
             if pending is not None:
                 out.extend(_drain_walks(mode, *pending))
             pending = nxt
         return out
-    return _drain_walks(mode, *_dispatch_walks(mode, sequences, g, sm, o, e, btas))
+    with phase("dispatch"):
+        pending = _dispatch_walks(mode, sequences, g, sm, o, e, btas)
+    return _drain_walks(mode, *pending)
 
 
-def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
+def _dispatch_walks(mode, sequences, g, sm, o, e, btas, pad_to=None):
     """Device-side fill + walk for one chunk; no host transfers."""
     from . import traceback_engine
+    from ..metrics import phase
 
     dg = poa_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
-    seq, L = encode_reads(sequences)
+    with phase("encode"):
+        seq, L = encode_reads(sequences, pad_to=pad_to)
     B, Lp = seq.shape
     W = traceback_engine.max_walk_steps(dg.n, Lp)
     gap = mode in (2, 3)
@@ -1013,49 +1033,57 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas):
 def _drain_walks(mode, sequences, dev):
     """Fetch one dispatched chunk and build WalkStates."""
     from .. import native
+    from ..metrics import phase
 
     gap = mode in (2, 3)
     banded = mode in (0, 2)
     B = len(sequences)
     # truncate the padded walk buffers to the batch's longest walk
     # (bucketed) before they cross the device->host link
-    kmax = min(dev["W"], (int(jax.device_get(dev["kmax"])) + 255) // 256 * 256)
+    with phase("device_wait"):
+        # fetching this scalar blocks until the chunk's fill+walk is
+        # done on-device (block_until_ready lies on the tunnel backend)
+        kmax = min(
+            dev["W"], (int(jax.device_get(dev["kmax"])) + 255) // 256 * 256
+        )
     dirs = dev["dirs"][:, :kmax]
     rows = dev["rows"][:, :kmax]
     fetch = [dev["score"], dev["last_row"], dev["last_col"], dirs, rows,
              dev["steps"], dev["stop_row"], dev["stop_col"]]
     if banded:
         fetch += [dev["lefts"], dev["rights"]]
-    got = jax.device_get(fetch)
+    with phase("fetch"):
+        got = jax.device_get(fetch)
     score, last_row, last_col, dirs, rows, steps, stop_row, stop_col = got[:8]
     states = []
-    for b in range(B):
-        ns = int(steps[b])
-        d = np.ascontiguousarray(dirs[b, :ns])
-        r = np.ascontiguousarray(rows[b, :ns])
-        lb = len(sequences[b])
-        if banded:
-            lf = np.ascontiguousarray(got[8][b])
-            rt = np.ascontiguousarray(got[9][b])
-            qstart = int(stop_col[b]) - int(lf[int(stop_row[b])])
-            ok = native.band_check_walk(
-                gap, d, r, lf, rt, int(last_row[b]), int(last_col[b]),
-                lb, int(stop_row[b]),
+    with phase("host_tb"):
+        for b in range(B):
+            ns = int(steps[b])
+            d = np.ascontiguousarray(dirs[b, :ns])
+            r = np.ascontiguousarray(rows[b, :ns])
+            lb = len(sequences[b])
+            if banded:
+                lf = np.ascontiguousarray(got[8][b])
+                rt = np.ascontiguousarray(got[9][b])
+                qstart = int(stop_col[b]) - int(lf[int(stop_row[b])])
+                ok = native.band_check_walk(
+                    gap, d, r, lf, rt, int(last_row[b]), int(last_col[b]),
+                    lb, int(stop_row[b]),
+                )
+            else:
+                qstart = int(stop_col[b])
+                ok = True
+            states.append(
+                WalkState(
+                    mode=mode,
+                    score=int(score[b]),
+                    last_row=int(last_row[b]),
+                    last_col_abs=int(last_col[b]),
+                    stop_row=int(stop_row[b]),
+                    query_start=qstart,
+                    dirs=d,
+                    rows=r,
+                    band_check_ok=bool(ok),
+                )
             )
-        else:
-            qstart = int(stop_col[b])
-            ok = True
-        states.append(
-            WalkState(
-                mode=mode,
-                score=int(score[b]),
-                last_row=int(last_row[b]),
-                last_col_abs=int(last_col[b]),
-                stop_row=int(stop_row[b]),
-                query_start=qstart,
-                dirs=d,
-                rows=r,
-                band_check_ok=bool(ok),
-            )
-        )
     return states
