@@ -25,8 +25,8 @@ Layer map (TPU-first, not a port):
 __version__ = "0.1.0"
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache, on by default.
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for accelerator backends.
 
     The r5 stretch-e2e phase breakdown showed ~95% of a cold 2k-read
     production run is XLA compilation (61.2s of 63.1s wall on the
@@ -34,6 +34,10 @@ def _enable_compile_cache() -> None:
     A warm disk cache removes it for every run after the first.
     Opt out with RECGRAPH_NO_COMPILE_CACHE=1; an explicitly configured
     jax cache dir (flag or JAX_COMPILATION_CACHE_DIR) is respected.
+
+    Called from the pipeline/API entry points, NOT at import: checking
+    the backend initialises XLA, which must not happen before
+    jax.distributed.initialize in multi-process runs.
     """
     import os
 
@@ -42,6 +46,11 @@ def _enable_compile_cache() -> None:
     try:
         import jax
 
+        # CPU runs don't pay the remote-compile cost, and XLA:CPU AOT
+        # cache entries are machine-feature-pinned (cross-machine loads
+        # warn about SIGILL risk) — cache only accelerator backends.
+        if jax.default_backend() == "cpu":
+            return
         if jax.config.jax_compilation_cache_dir is None:
             cache = os.path.join(
                 os.path.expanduser("~"), ".cache", "recgraph_tpu", "xla"
@@ -51,6 +60,3 @@ def _enable_compile_cache() -> None:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
-
-
-_enable_compile_cache()

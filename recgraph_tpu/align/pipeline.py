@@ -242,6 +242,9 @@ def _setup_parallel(opts: Options):
         pid, nproc = distributed.initialize(
             opts.coordinator, opts.num_processes, opts.process_id
         )
+    from .. import enable_compile_cache
+
+    enable_compile_cache()  # after distributed init (backend touch)
     prev = False
     if (
         opts.engine == "jax"

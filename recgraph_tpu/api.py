@@ -40,6 +40,9 @@ def create_score_matrix_f32(match: float, mismatch: float) -> ScoreMatrix:
 
 
 def _prep(read: str, gfa: Gfa, score_matrix, bases_to_add, default_frac=0.1):
+    from . import enable_compile_cache
+
+    enable_compile_cache()
     g = PoaGraph.from_gfa(gfa, amb_mode=False)
     sm = score_matrix or ScoreMatrix.match_mismatch(2, -4)
     bta = int(len(read) * (default_frac if bases_to_add is None else bases_to_add))

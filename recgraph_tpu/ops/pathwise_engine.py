@@ -252,6 +252,59 @@ def _endings_global(finalcol_b, g):
     return best_path, int(ending[best_path])
 
 
+def _end_meta(g):
+    """Per-path sink predecessor (+assigned mask), mirroring the
+    final_results_global loop — cached on the graph so the per-read
+    endings reduce ON DEVICE (fetching the [B, P, n] final column was
+    the dominant mode-4 e2e transfer: ~80 KB/read)."""
+    meta = g.__dict__.get("_end_meta")
+    if meta is None:
+        P = g.paths_number
+        end_pred = np.zeros(P, dtype=np.int32)
+        assigned = np.zeros(P, dtype=bool)
+        for pred, paths in g.preds_and_paths(g.n - 1):
+            for p in np.flatnonzero(paths):
+                end_pred[p] = pred
+                assigned[p] = True
+        meta = (jnp.asarray(end_pred), jnp.asarray(assigned))
+        g.__dict__["_end_meta"] = meta
+    return meta
+
+
+@jax.jit
+def _endings_global_dev(finalcol, end_pred, assigned):
+    """Batched device version of :func:`_endings_global`.
+
+    Ties on the per-path result pick the HIGHEST path index (the
+    oracle's max over (results[p], p)); unassigned paths keep the
+    oracle's literal 0.  Returns (best_path, node, score) int32[B].
+    """
+    vals = jnp.take_along_axis(
+        finalcol, end_pred[None, :, None], axis=2
+    )[..., 0]                                              # [B, P]
+    vals = jnp.where(assigned[None, :], vals, 0)
+    P = vals.shape[1]
+    best = (P - 1) - jnp.argmax(vals[:, ::-1], axis=1).astype(jnp.int32)
+    node = end_pred[best]
+    score = jnp.take_along_axis(vals, best[:, None], axis=1)[:, 0]
+    return best, node, score
+
+
+@jax.jit
+def _endings_semiglobal_dev(finalcol, on):
+    """Batched device version of :func:`_endings_semiglobal`; `on` is
+    bool[P, n] (g.paths_nodes.T).  First-max tie order throughout,
+    like the oracle's argmax calls."""
+    NEGI = jnp.int32(np.iinfo(np.int32).min)
+    vals = jnp.where(on[None], finalcol, NEGI)             # [B, P, n]
+    pnb = jnp.max(vals, axis=1)                            # [B, n]
+    pnp = jnp.argmax(vals, axis=1).astype(jnp.int32)       # first max
+    node = 1 + jnp.argmax(pnb[:, 1:-1], axis=1).astype(jnp.int32)
+    bp = jnp.take_along_axis(pnp, node[:, None], axis=1)[:, 0]
+    score = jnp.take_along_axis(pnb, node[:, None], axis=1)[:, 0]
+    return bp, node, score
+
+
 def _endings_semiglobal(finalcol_b, g):
     """Mirrors best_ending_node (pathwise_alignment_semiglobal.rs:244-277)."""
     on = g.paths_nodes.T                                   # [P, n]
@@ -344,8 +397,12 @@ def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
         )[:, 0]
         return jnp.where((rel >= 0) & (rel < Lp), v, NEG)
 
-    def body(_, st):
-        i, j, k, done, dirs, rows = st
+    def cond(st):
+        it, i, j, k, done, dirs, rows = st
+        return (it < max_steps) & jnp.any(~done)
+
+    def body(st):
+        it, i, j, k, done, dirs, rows = st
         main = (i > 0) & (j > 0) & ~done
         ltail = (i == 0) & (j > 0) & ~done
         utail = jnp.bool_(global_mode) & (i > 0) & (j == 0) & ~done
@@ -370,60 +427,93 @@ def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
         code = jnp.where(utail, U_DIR, code)
 
         emit = main | ltail | utail
-        dirs = dirs.at[bidx, k].set(jnp.where(emit, code, dirs[bidx, k]))
-        rows = rows.at[bidx, k].set(jnp.where(emit, i, rows[bidx, k]))
+        # every active iteration emits exactly one step, so k == it and
+        # a column write (O(B) in-place) replaces the per-lane scatter
+        # that dominated walk time; done lanes write past their step
+        # count (never read)
+        dirs = jax.lax.dynamic_update_slice(
+            dirs, jnp.where(emit, code, -1)[:, None], (0, it)
+        )
+        rows = jax.lax.dynamic_update_slice(
+            rows, jnp.where(emit, i, 0)[:, None], (0, it)
+        )
 
         i_new = jnp.where(main & (is_d | is_u), pred, i)
         i_new = jnp.where(utail, pred, i_new)
         j_new = jnp.where(main & (is_d | ~(is_d | is_u)), j - 1, j)
         j_new = jnp.where(ltail, j - 1, j_new)
         k = k + emit.astype(jnp.int32)
-        return i_new, j_new, k, done_new, dirs, rows
+        return it + 1, i_new, j_new, k, done_new, dirs, rows
 
     z = jnp.zeros((B,), jnp.int32)
     dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
     rows0 = jnp.zeros((B, max_steps), jnp.int32)
     j0 = (L - 1) if start_j is None else start_j
-    st = (ending_node, j0, z, jnp.zeros((B,), bool), dirs0, rows0)
-    i, j, k, done, dirs, rows = jax.lax.fori_loop(0, max_steps, body, st)
+    st = (jnp.int32(0), ending_node, j0, z, jnp.zeros((B,), bool), dirs0,
+          rows0)
+    _, i, j, k, done, dirs, rows = jax.lax.while_loop(cond, body, st)
     return dirs, rows, k, i
 
 
 _DIR_CHARS = {1: "D", 2: "d", 3: "L", 4: "U"}
+# build_cigar's per-char flushing means at most one run counter is ever
+# nonzero, so it reduces to run-length encoding over the mapped classes
+# (D->M, d->X, L->D, U->I) — vectorised here (the Python per-step loop
+# was 9s of the 10k-read stretch e2e)
+_CIG_CLASS = np.array(["?", "M", "X", "D", "I"])
+
+
+def _walk_meta(g):
+    meta = g.__dict__.get("_walk_meta")
+    if meta is None:
+        ids = np.asarray(g.nodes_id_pos, dtype=np.int64)
+        lnz = np.frombuffer(g.lnz.encode("latin1"), dtype=np.uint8)
+        meta = (ids, lnz)
+        g.__dict__["_walk_meta"] = meta
+    return meta
 
 
 def _record_from_walk(dirs, rows, n_steps, stop_i, g, bp, ending_node, score):
-    """Assemble the GafRecord exactly as build_alignment does."""
-    from ..oracle.gaf_emit import build_cigar
+    """Assemble the GafRecord exactly as build_alignment does
+    (oracle/pathwise.py — vectorised, byte-identical output)."""
     from ..oracle.pathwise import get_path_len_start_end
 
-    ids = g.nodes_id_pos
-    lnz = g.lnz
-    cigar = []
-    handles = []
-    path_seq = []
-    path_length = 0
-    for k in range(n_steps):
-        c = int(dirs[k])
-        cigar.append(_DIR_CHARS[c])
-        if c in (1, 2, 4):
-            r = int(rows[k])
-            handles.append(int(ids[r]))
-            path_seq.append(lnz[r])
-            path_length += 1
-    cigar.reverse()
-    path_seq.reverse()
-    handle_dedup = []
-    for h in handles:
-        if not handle_dedup or handle_dedup[-1] != h:
-            handle_dedup.append(h)
-    handle_dedup.reverse()
+    ids, lnz = _walk_meta(g)
+    d = np.asarray(dirs[:n_steps])
+    r = np.asarray(rows[:n_steps])
+    # forward order = reversed walk
+    d_f = d[::-1]
+    r_f = r[::-1]
+    # CIGAR: RLE over classes in forward order
+    if n_steps:
+        cls = _CIG_CLASS[d_f]
+        bnd = np.flatnonzero(cls[1:] != cls[:-1])
+        starts = np.concatenate(([0], bnd + 1))
+        ends = np.concatenate((bnd + 1, [n_steps]))
+        cigar_str = "".join(
+            f"{e - s}{cls[s]}" for s, e in zip(starts, ends)
+        )
+    else:
+        cigar_str = ""
+    on_node = (d_f == 1) | (d_f == 2) | (d_f == 4)
+    sel = r_f[on_node]                                     # path order
+    path_length = int(on_node.sum())
+    h = ids[sel]
+    if len(h):
+        keep = np.empty(len(h), dtype=bool)
+        keep[-1] = True
+        # dedup is over the WALK order (reverse of path order)
+        keep[:-1] = h[1:] != h[:-1]
+        handle_dedup = [int(x) for x in h[keep]]
+    else:
+        handle_dedup = []
+    path_seq = lnz[sel].tobytes().decode("latin1")
     path_len, path_start, path_end = get_path_len_start_end(
         ids, stop_i if stop_i == 0 else stop_i + 1, ending_node, path_length
     )
     comments = (
-        f"{build_cigar(cigar)}, best path: {bp}, score: {score}"
-        f"\t{''.join(path_seq)}"
+        f"{cigar_str}, best path: {bp}, score: {score}"
+        f"\t{path_seq}"
     )
     return handle_dedup, path_len, path_start, path_end, comments
 
@@ -439,7 +529,7 @@ def _graph_hint_key(g, dg) -> tuple:
     return (dg.n, dg.paths_number, hash(codes.tobytes()))
 
 
-def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafRecord]:
+def run_batch_walks(mode, sequences, g, sm, chunk_bytes=None) -> list[GafRecord]:
     """Modes 4/5 with on-device traceback (planes never leave the device).
 
     Mode-4 batches with long reads route through the windowed O(W)-lane
@@ -451,6 +541,13 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=1 << 29) -> list[GafReco
     """
     from ..graph.pathgraph import pathwise_meta
 
+    if chunk_bytes is None:
+        # 2 GB of score planes per chunk on TPU (16 GB HBM; each chunk
+        # costs ~2 blocking host round trips, so fewer/bigger chunks
+        # amortize the link latency); 512 MB elsewhere
+        chunk_bytes = (
+            1 << 31 if jax.default_backend() == "tpu" else 1 << 29
+        )
     dg = path_device_graph(g)
     table = jnp.asarray(sm.table, dtype=jnp.int32)
     semiglobal = mode == 5
@@ -495,42 +592,39 @@ def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
             seq, L = encode_reads(enc_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
         with phase("dispatch"):
+            # the whole chunk — fill, endings, plane extraction, walk —
+            # stays on device; the host sees only the compact packed
+            # walk + per-read scalars at the end (2 round trips/chunk)
             A = fill_pathwise_best(dg, table, seq, semiglobal, fits)
             fc = _final_column(A, L)
-        with phase("device_wait"):
-            finalcol = np.asarray(jax.device_get(fc))
-        bps, nodes, scores = [], [], []
-        with phase("host_tb"):
-            for b in range(len(chunk_seqs)):
-                if semiglobal:
-                    bp, node = _endings_semiglobal(finalcol[b], g)
-                else:
-                    bp, node = _endings_global(finalcol[b], g)
-                bps.append(bp)
-                nodes.append(node)
-                scores.append(int(finalcol[b, bp, node]))
-        with phase("dispatch"):
-            bps_j = encode_read_aux(bps + bps[:1] * pad_n)
-            planes = _extract_plane(A, bps_j)
+            if semiglobal:
+                bp_d, node_d, sc_d = _endings_semiglobal_dev(
+                    fc, dg.paths_on.T
+                )
+            else:
+                bp_d, node_d, sc_d = _endings_global_dev(fc, *_end_meta(g))
+            planes = _extract_plane(A, bp_d)
             pred_of_bp = jnp.take_along_axis(
                 jnp.broadcast_to(pred_of_full.T[None], (seq.shape[0], P, n)),
-                bps_j[:, None, None], axis=1,
+                bp_d[:, None, None], axis=1,
             )[:, 0]
             dirs, rows, steps, stop_i = _walk_pathwise(
                 planes, seq, L, table, jnp.asarray(g.node_start),
-                dg.codes, pred_of_bp,
-                encode_read_aux(nodes + nodes[:1] * pad_n),
+                dg.codes, pred_of_bp, node_d,
                 global_mode=not semiglobal, max_steps=W,
             )
         del A, planes
+        from .traceback_engine import pack_walk16, pack_walk32, unpack_walk
+
         with phase("device_wait"):
-            kmax = min(W, (int(jax.device_get(steps.max())) + 255) // 256 * 256)
-        dirs = dirs[:, :kmax]
-        rows = rows[:, :kmax]
+            kmax = min(W, (int(jax.device_get(steps.max())) + 63) // 64 * 64)
+        pack = pack_walk16 if n <= 2048 else pack_walk32
+        pk = pack(dirs[:, :kmax], rows[:, :kmax])
         with phase("fetch"):
-            dirs, rows, steps, stop_i = jax.device_get(
-                (dirs, rows, steps, stop_i)
+            pk, steps, stop_i, bps, nodes, scores = jax.device_get(
+                (pk, steps, stop_i, bp_d, node_d, sc_d)
             )
+        dirs, rows = unpack_walk(pk)
         with phase("emit"):
             for b, s in enumerate(chunk_seqs):
                 handle_dedup, path_len, path_start, path_end, comments = (
@@ -645,38 +739,41 @@ def _run_batch_walks_win(sequences, g, dg, table, sm, pred_of_full,
         sub = [sequences[i] for i in idxs]
         seq, L = encode_reads(sub, pad_to=Lp_all)
         Aw, ws, bound = fill_win(dg, table, seq, L, W, rmin)
-        finalcol = np.asarray(jax.device_get(_final_column_win(Aw, ws, L)))
-        boundh = np.asarray(jax.device_get(bound))
-        bps, nodes, scores, passed = [], [], [], []
-        for b in range(len(sub)):
-            bp, node = _endings_global(finalcol[b], g)
-            bps.append(bp)
-            nodes.append(node)
-            scores.append(int(finalcol[b, bp, node]))
-            passed.append(scores[-1] > int(boundh[b]))
+        fcw = _final_column_win(Aw, ws, L)
+        bp_d, node_d, sc_d = _endings_global_dev(fcw, *_end_meta(g))
+        bps, nodes, scores, boundh = jax.device_get(
+            (bp_d, node_d, sc_d, bound)
+        )
+        passed = [
+            int(scores[b]) > int(boundh[b]) for b in range(len(sub))
+        ]
         if any(passed):
-            bps_j = encode_read_aux(bps)
-            planes = _extract_plane(Aw, bps_j)             # [B, n, W]
+            planes = _extract_plane(Aw, bp_d)              # [B, n, W]
             del Aw
             pred_of_bp = jnp.take_along_axis(
                 jnp.broadcast_to(
                     pred_of_full.T[None], (seq.shape[0], P, n)
                 ),
-                bps_j[:, None, None], axis=1,
+                bp_d[:, None, None], axis=1,
             )[:, 0]
             dirs, rows, steps, stop_i = _walk_pathwise(
                 planes, seq, L, table, node_start, dg.codes,
-                pred_of_bp, encode_read_aux(nodes),
+                pred_of_bp, node_d,
                 global_mode=True, max_steps=max_steps, ws=ws,
             )
             del planes
+            from .traceback_engine import (
+                pack_walk16, pack_walk32, unpack_walk,
+            )
+
             kmax = min(
                 max_steps,
-                (int(jax.device_get(steps.max())) + 255) // 256 * 256,
+                (int(jax.device_get(steps.max())) + 63) // 64 * 64,
             )
-            dirs, rows, steps, stop_i = jax.device_get(
-                (dirs[:, :kmax], rows[:, :kmax], steps, stop_i)
-            )
+            pack = pack_walk16 if n <= 2048 else pack_walk32
+            pk = pack(dirs[:, :kmax], rows[:, :kmax])
+            pk, steps, stop_i = jax.device_get((pk, steps, stop_i))
+            dirs, rows = unpack_walk(pk)
             for b, i_orig in enumerate(idxs):
                 if passed[b]:
                     out[i_orig] = _gaf_from_walk(

@@ -792,6 +792,16 @@ CHUNK_READS = 512  # per-dispatch read chunk: bounds device memory at
                    # in its in-place-update regime
 
 
+def _walk_chunk_reads() -> int:
+    """Chunk size for the on-device-walk path.
+
+    On TPU the fills are Pallas kernels (batch-tiled, no XLA-scan-carry
+    degradation) and each chunk costs ~2 blocking round trips over the
+    host link, so bigger chunks amortize latency 4x; elsewhere keep the
+    XLA-safe 512 (CLAUDE.md: scan carries degrade near batch 2048)."""
+    return 2048 if jax.default_backend() == "tpu" else CHUNK_READS
+
+
 def run_batch(mode, sequences, g, sm, o, e, btas) -> list[PoaState]:
     if len(sequences) > CHUNK_READS:
         from ..watchdog import progress as _wd_progress
@@ -914,11 +924,12 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
     from .. import native
     from ..metrics import phase
 
-    if len(sequences) > CHUNK_READS:
+    ckr = _walk_chunk_reads()
+    if len(sequences) > ckr:
         from ..watchdog import progress as _wd_progress
 
         # ONE compiled shape for every chunk: pad Lp corpus-wide and pad
-        # the trailing chunk's batch up to CHUNK_READS with copies of
+        # the trailing chunk's batch up to the chunk size with copies of
         # its first read (drain slices them off).  The r5 phase
         # breakdown showed per-chunk shape drift recompiling the fill
         # on the remote-compile path (~15-20s per shape) dominated the
@@ -926,16 +937,16 @@ def run_batch_walks(mode, sequences, g, sm, o, e, btas):
         pad_to = max(len(s) for s in sequences)
         out = []
         pending = None
-        starts = list(range(0, len(sequences), CHUNK_READS))
+        starts = list(range(0, len(sequences), ckr))
         for c in starts + [None]:
             _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
             nxt = None
             if c is not None:
-                chunk = sequences[c : c + CHUNK_READS]
-                cbtas = btas[c : c + CHUNK_READS]
+                chunk = sequences[c : c + ckr]
+                cbtas = btas[c : c + ckr]
                 n_real = len(chunk)
-                if n_real < CHUNK_READS:
-                    fill_n = CHUNK_READS - n_real
+                if n_real < ckr:
+                    fill_n = ckr - n_real
                     chunk = chunk + [chunk[0]] * fill_n
                     cbtas = cbtas + [cbtas[0]] * fill_n
                 with phase("dispatch"):
@@ -1018,21 +1029,30 @@ def _dispatch_walks(mode, sequences, g, sm, o, e, btas, pad_to=None):
             py = jnp.moveaxis(py, 0, 1)
         lefts = rights = None
 
-    dirs, rows, steps, stop_row, stop_col = traceback_engine.walk_poa(
-        packed, px, py, last_row, last_col, gap=gap, max_steps=W, ws=ws
+    band = (lefts, rights, L) if banded else None
+    dirs, rows, steps, stop_row, stop_col, band_ok, qstart, kmax_dev = (
+        traceback_engine.walk_poa(
+            packed, px, py, last_row, last_col, gap=gap, max_steps=W,
+            ws=ws, band=band,
+        )
     )
-    kmax_dev = steps.max()
+    # one [8, B] int32 block -> ONE host fetch for all per-read scalars
+    # (each fetch on the tunnel costs ~25 ms of latency)
+    ok_i = (
+        band_ok.astype(jnp.int32) if band_ok is not None
+        else jnp.ones_like(score)
+    )
+    scal = jnp.stack([
+        score, last_row, last_col, steps, stop_row, stop_col, qstart, ok_i
+    ])
     dev = dict(
-        score=score, last_row=last_row, last_col=last_col, dirs=dirs,
-        rows=rows, steps=steps, stop_row=stop_row, stop_col=stop_col,
-        lefts=lefts, rights=rights, kmax=kmax_dev, W=W,
+        scal=scal, dirs=dirs, rows=rows, kmax=kmax_dev, W=W, n=dg.n,
     )
     return sequences, dev
 
 
 def _drain_walks(mode, sequences, dev):
     """Fetch one dispatched chunk and build WalkStates."""
-    from .. import native
     from ..metrics import phase
 
     gap = mode in (2, 3)
@@ -1040,36 +1060,30 @@ def _drain_walks(mode, sequences, dev):
     B = len(sequences)
     # truncate the padded walk buffers to the batch's longest walk
     # (bucketed) before they cross the device->host link
+    from . import traceback_engine as tb
+
     with phase("device_wait"):
         # fetching this scalar blocks until the chunk's fill+walk is
         # done on-device (block_until_ready lies on the tunnel backend)
         kmax = min(
-            dev["W"], (int(jax.device_get(dev["kmax"])) + 255) // 256 * 256
+            dev["W"], (int(jax.device_get(dev["kmax"])) + 63) // 64 * 64
         )
-    dirs = dev["dirs"][:, :kmax]
-    rows = dev["rows"][:, :kmax]
-    fetch = [dev["score"], dev["last_row"], dev["last_col"], dirs, rows,
-             dev["steps"], dev["stop_row"], dev["stop_col"]]
-    if banded:
-        fetch += [dev["lefts"], dev["rights"]]
+    pack = tb.pack_walk16 if dev["n"] <= 2048 else tb.pack_walk32
+    pk = pack(dev["dirs"][:, :kmax], dev["rows"][:, :kmax])
     with phase("fetch"):
-        got = jax.device_get(fetch)
-    score, last_row, last_col, dirs, rows, steps, stop_row, stop_col = got[:8]
+        pk, scal = jax.device_get([pk, dev["scal"]])
+    (score, last_row, last_col, steps, stop_row, stop_col, qstart_a,
+     band_ok_a) = scal
+    dirs, rows = tb.unpack_walk(pk)
     states = []
     with phase("host_tb"):
         for b in range(B):
             ns = int(steps[b])
-            d = np.ascontiguousarray(dirs[b, :ns])
-            r = np.ascontiguousarray(rows[b, :ns])
+            d, r = tb.compact_walk(dirs[b], rows[b], ns)
             lb = len(sequences[b])
             if banded:
-                lf = np.ascontiguousarray(got[8][b])
-                rt = np.ascontiguousarray(got[9][b])
-                qstart = int(stop_col[b]) - int(lf[int(stop_row[b])])
-                ok = native.band_check_walk(
-                    gap, d, r, lf, rt, int(last_row[b]), int(last_col[b]),
-                    lb, int(stop_row[b]),
-                )
+                qstart = int(qstart_a[b])
+                ok = bool(band_ok_a[b])
             else:
                 qstart = int(stop_col[b])
                 ok = True

@@ -974,8 +974,12 @@ def _walk_reverse(plane, seq, L, table, node_start_rev, codes, succ_of_rp,
     def at(i, j):
         return jnp.take_along_axis(pf, (i * Lp + j)[:, None], axis=1)[:, 0]
 
-    def body(_, st):
-        i, j, k, done, rev_end, dirs, rows = st
+    def cond(st):
+        it, i, j, k, done, rev_end, dirs, rows = st
+        return (it < max_steps) & jnp.any(~done)
+
+    def body(st):
+        it, i, j, k, done, rev_end, dirs, rows = st
         main = (i > 0) & (i < n - 1) & (j < L - 1) & ~done
         ltail = (j < L - 1) & ~main & ~done
         utail = jnp.bool_(global_mode) & (i < n - 1) & (j >= L - 1) & ~main & ~ltail & ~done
@@ -1003,21 +1007,30 @@ def _walk_reverse(plane, seq, L, table, node_start_rev, codes, succ_of_rp,
 
         rev_end = jnp.where(main, i, rev_end)
         emit = main | ltail | utail
-        dirs = dirs.at[bidx, k].set(jnp.where(emit, code, dirs[bidx, k]))
-        rows = rows.at[bidx, k].set(jnp.where(emit, i, rows[bidx, k]))
+        # column write at the loop index (k == it while active; see
+        # pathwise_engine._walk_pathwise)
+        dirs = jax.lax.dynamic_update_slice(
+            dirs, jnp.where(emit, code, -1)[:, None], (0, it)
+        )
+        rows = jax.lax.dynamic_update_slice(
+            rows, jnp.where(emit, i, 0)[:, None], (0, it)
+        )
 
         i_new = jnp.where(main & (is_d | is_u), succ, i)
         i_new = jnp.where(utail, succ, i_new)
         j_new = jnp.where(main & (is_d | ~(is_d | is_u)), j + 1, j)
         j_new = jnp.where(ltail, j + 1, j_new)
         k = k + emit.astype(jnp.int32)
-        return i_new, j_new, k, done_new, rev_end, dirs, rows
+        return it + 1, i_new, j_new, k, done_new, rev_end, dirs, rows
 
     z = jnp.zeros((B,), jnp.int32)
     dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
     rows0 = jnp.zeros((B, max_steps), jnp.int32)
-    st = (start_i, start_j, z, jnp.zeros((B,), bool), start_i, dirs0, rows0)
-    i, j, k, done, rev_end, dirs, rows = jax.lax.fori_loop(0, max_steps, body, st)
+    st = (jnp.int32(0), start_i, start_j, z, jnp.zeros((B,), bool),
+          start_i, dirs0, rows0)
+    _, i, j, k, done, rev_end, dirs, rows = jax.lax.while_loop(
+        cond, body, st
+    )
     return dirs, rows, k, rev_end
 
 

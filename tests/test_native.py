@@ -141,3 +141,23 @@ def test_banded_baselines_match_engines(example_paths):
             poa_gap_engine.fill_gap_global_best(dg, table, seq, L, bta, o, e, g)[0]
         )
         assert (sc2 == scores2).all(), mtx
+
+
+@pytest.mark.parametrize("mode", [0, 2])
+def test_device_band_check_fail_cases(example_paths, mode):
+    """The in-walk device band check (traceback_engine.walk_poa band=)
+    must reproduce the native replay verdict on FAILING bands too —
+    forced here with bta=1 (near-degenerate band)."""
+    reads_fa, graph_gfa = example_paths
+    seqs, names = fasta.get_sequences(reads_fa)
+    seqs = seqs[:12]
+    g = PoaGraph.from_gfa(gfa.parse_gfa(graph_gfa))
+    sm = ScoreMatrix.create("none", 2, -4)
+    btas = [1] * len(seqs)
+    plane_states = poa_engine.run_batch(mode, seqs, g, sm, -4, -2, btas)
+    walk_states = poa_engine.run_batch_walks(mode, seqs, g, sm, -4, -2, btas)
+    oks = [ps.band_check_ok for ps in plane_states]
+    for ps, ws in zip(plane_states, walk_states):
+        assert ws.band_check_ok == ps.band_check_ok
+        assert ws.score == ps.score
+    assert not all(oks), "bta=1 should fail the band check somewhere"
