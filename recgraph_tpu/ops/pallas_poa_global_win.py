@@ -58,7 +58,13 @@ def _chain_radix(x, jcol, Lp):
     return x
 
 
-def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
+def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int,
+                 strip=()):
+    """strip: diagnostic section-removal knobs (timing ablations ONLY —
+    output is wrong with any knob set): 'dma' fetches the window planes
+    only on the first row group, 'roll' skips pred-row realignment,
+    'chain' skips the in-row (max,+) chain, 'dirs' skips direction
+    packing, 'lane' replaces per-read lane extracts with lane 0."""
     num_sinks = len(sink_rows)
 
     def kernel(
@@ -89,6 +95,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
         g_w,            # scratch [3, Bt, W]
         sweep_s,        # scratch [4, Bt, W]
         over_s,         # scratch [Bt, 8] (lane-padded flag)
+        band_s,         # scratch [Bt, 8] (is_start ms/me, no-transpose layout)
         lefts_s,        # scratch [n_scr, Bt]
         rights_s,       # scratch [n_scr, Bt]
         bsp_s,          # scratch [n_scr, Bt]
@@ -108,6 +115,8 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
         NEGc = jnp.int32(NEG)
 
         def lane_at(row, col):
+            if "lane" in strip:
+                return row[:, 0:1]
             return jnp.max(
                 jnp.where(jcol == col, row, NEGc), axis=1, keepdims=True
             )
@@ -116,6 +125,15 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
         def _():
             over_s[:, :] = jnp.zeros((Bt, 8), jnp.int32)
 
+        # group-entry carry of the previous row's band metadata: the
+        # fast path (pred = i-1) then never re-reads + transposes the
+        # [n_scr, Bt] scratch (measured: the per-row metadata
+        # transposes dominated the kernel's distance to its strip
+        # floor)
+        ipz = jnp.maximum(step * R - 1, 0)
+        pb_prev = jnp.transpose(bsp_s[pl.ds(ipz, 1), :])
+        pl_f = jnp.transpose(lefts_s[pl.ds(ipz, 1), :])
+        pr_f = jnp.transpose(rights_s[pl.ds(ipz, 1), :])
         for r in range(R):
             i = step * R + r
             ii = jnp.minimum(i, n - 1)
@@ -123,17 +141,25 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
 
             # ---- adaptive band ----
             is_start = (is_start_ref[ii] != 0) & (i > 0) & live
-            pb_prev = jnp.transpose(bsp_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
-            ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
-            me_s = jnp.full((Bt, 1), NEG, jnp.int32)
-            for p in range(Pm):
-                pidx = pred_idx_ref[ii * Pm + p]
-                ok = (pidx >= 0) & is_start
-                pb = jnp.transpose(bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :])
-                ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
-                me_s = jnp.where(ok & (pb > me_s), pb, me_s)
-            ms = jnp.where(is_start, ms_s, pb_prev) + 1
-            me = jnp.where(is_start, me_s, pb_prev) + 1
+            s_any = is_start_ref[ii] != 0
+
+            @pl.when(s_any)
+            def _():
+                ms_s = jnp.full((Bt, 1), 1 << 28, jnp.int32)
+                me_s = jnp.full((Bt, 1), NEG, jnp.int32)
+                for p in range(Pm):
+                    pidx = pred_idx_ref[ii * Pm + p]
+                    ok = pidx >= 0
+                    pb = jnp.transpose(
+                        bsp_s[pl.ds(jnp.maximum(pidx, 0), 1), :]
+                    )
+                    ms_s = jnp.where(ok & (pb < ms_s), pb, ms_s)
+                    me_s = jnp.where(ok & (pb > me_s), pb, me_s)
+                band_s[:, 0:1] = ms_s
+                band_s[:, 1:2] = me_s
+
+            ms = jnp.where(is_start, band_s[:, 0:1], pb_prev) + 1
+            me = jnp.where(is_start, band_s[:, 1:2], pb_prev) + 1
             ms = jnp.where(i == 0, 0, ms)
             me = jnp.where(i == 0, 0, me)
             r_i = r_ref[ii]
@@ -183,10 +209,19 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
                     g_w, dsem.at[2],
                 ),
             ]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
+            if "dma" in strip:
+                if r == 0:
+                    @pl.when(step == 0)
+                    def _():
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
+            else:
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
             subrow = sub_w[:, :]
             match = eq_w[:, :] != 0
             gseq = g_w[0]
@@ -195,15 +230,15 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
 
             def aligned_row(src, pidx):
                 """src row realigned from its window start to ws."""
+                if "roll" in strip:
+                    return src
                 ws_p = wss[jnp.maximum(pidx, 0)]
                 d = ws - ws_p
                 rolled = pltpu.roll(src, (-d) % W, 1)
                 ok = (jcol + d >= 0) & (jcol + d < W)
                 return jnp.where(ok, rolled, NEGc)
 
-            # fast path: single pred i-1
-            pl_f = jnp.transpose(lefts_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
-            pr_f = jnp.transpose(rights_s[pl.ds(jnp.maximum(i - 1, 0), 1), :])
+            # fast path: single pred i-1 (band bounds carried, not read)
             prev = aligned_row(prev_s[:, :], i - 1)
             cov_u = (pl_f <= jabs) & (jabs < pr_f)
             u_pre_f = jnp.where(cov_u, prev, NEGc)
@@ -281,9 +316,12 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
             Grow = jnp.where(i == 0, G0, G)
             A0row = jnp.where(in_band, Grow, NEGc)
             A0row = jnp.where(jabs == 0, 0, A0row)
-            m_row = jnp.where(
-                i == 0, A0row, Grow + _chain_radix(A - Grow, jcol, W)
-            )
+            if "chain" in strip:
+                m_row = jnp.where(i == 0, A0row, A)
+            else:
+                m_row = jnp.where(
+                    i == 0, A0row, Grow + _chain_radix(A - Grow, jcol, W)
+                )
             m_row = jnp.where(in_band, m_row, NEGc)
 
             masked = jnp.where(in_band, m_row, NEGc)
@@ -312,8 +350,11 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
             pred_sel = jnp.where(is_base, minp, pred_sel)
             dcode = jnp.where(i == 0, jnp.where(jabs == 0, O, L_DIR), dcode)
             pred_sel = jnp.where(i == 0, 0, pred_sel)
-            pk = jnp.where(in_band & live, pred_sel * 16 + dcode, 0)
-            packed_ref[r] = pk
+            if "dirs" in strip:
+                packed_ref[r] = jnp.where(in_band & live, A, 0)
+            else:
+                pk = jnp.where(in_band & live, pred_sel * 16 + dcode, 0)
+                packed_ref[r] = pk
 
             m_store = jnp.where(live, m_row, NEGc)
             ringb[i % ring] = m_store
@@ -327,6 +368,7 @@ def _make_kernel(sink_rows, R: int, n: int, ring: int, W: int, Lfull: int):
             lefts_s[pl.ds(iw, 1), :] = jnp.transpose(left)
             rights_s[pl.ds(iw, 1), :] = jnp.transpose(right)
             bsp_s[pl.ds(iw, 1), :] = jnp.transpose(bsp_i)
+            pb_prev, pl_f, pr_f = bsp_i, left, right
             ws_v[pl.ds(iw, 1), :] = jnp.full((1, Bt), ws, jnp.int32)
 
             so = sink_ord_ref[ii]
@@ -373,7 +415,7 @@ def pick_bt(B: int, W: int, ring: int, n_scr: int, R: int = 8) -> int:
 
 
 def fill_global_win(dg, table, seq, L, bta, W, span, Bt=None, R=8,
-                    interpret=False):
+                    interpret=False, strip=()):
     """Pallas windowed mode-0 fill.
 
     Returns (score, last_row, last_col_abs, packed int32[n, B, W],
@@ -401,10 +443,10 @@ def fill_global_win(dg, table, seq, L, bta, W, span, Bt=None, R=8,
     sink_rows = dg.sink_rows
     sink_pad = (len(sink_rows) + 7) // 8 * 8
 
-    key = (sink_rows, W, Lfull, n, Bt, R, B, ring, interpret)
+    key = (sink_rows, W, Lfull, n, Bt, R, B, ring, interpret, tuple(strip))
     fn = _cache.get(key)
     if fn is None:
-        kernel = _make_kernel(sink_rows, R, n, ring, W, Lfull)
+        kernel = _make_kernel(sink_rows, R, n, ring, W, Lfull, strip=strip)
         fn = jax.jit(
             pl.pallas_call(
                 kernel,
@@ -444,6 +486,7 @@ def fill_global_win(dg, table, seq, L, bta, W, span, Bt=None, R=8,
                         pltpu.VMEM((Bt, W), jnp.int32),
                         pltpu.VMEM((3, Bt, W), jnp.int32),
                         pltpu.VMEM((4, Bt, W), jnp.int32),
+                        pltpu.VMEM((Bt, 8), jnp.int32),
                         pltpu.VMEM((Bt, 8), jnp.int32),
                         pltpu.VMEM((n_scr, Bt), jnp.int32),
                         pltpu.VMEM((n_scr, Bt), jnp.int32),
