@@ -315,6 +315,50 @@ def longread_bench(line, iters, base_scalar):
         f"full-equivalent cells (the reference is full-width here)",
     )
 
+    # ---- mode 8 windowed fill pair (opt-in RECGRAPH_REC_WINDOW
+    # engine; the reference is full-width on BOTH matrices)
+    try:
+        from recgraph_tpu.ops import (
+            recombination_engine as _rec,
+            recombination_window as _rw,
+        )
+
+        rg8 = PathGraph.from_gfa(parsed, is_reversed=False).reverse()
+        rdg8 = _rec.rev_device_graph(rg8)
+        B8w = max(1, min(8, (1 << 29) // (2 * P * pdg.n * W4 * 4)))
+        seq8w, L8w = encode_reads(reads[:B8w], pad_to=Lp4)
+        W8 = W4
+
+        def chained8w(k):
+            @jax.jit
+            def fn(seq):
+                tot = jnp.int32(0)
+                s = seq
+                for _ in range(k):
+                    Awf, wsf, bf = fill_win(pdg, table, s, L8w, W8, rmin)
+                    Awr, wsr, rr = _rw._fill_pathwise_rev_win(
+                        rdg8, table, s, L8w, W8
+                    )
+                    tot = (
+                        tot + Awf.reshape(-1)[123] + Awr.reshape(-1)[321]
+                        + jnp.sum(bf) + jnp.sum(rr)
+                    )
+                    s = jnp.roll(seq8w, tot & 3, axis=0)
+                return tot
+
+            return lambda: int(fn(seq8w))
+
+        dt8w = slope_time(chained8w, 2, k_hi=2)
+        cells8w = 2 * B8w * pdg.n * Lp4 * P
+        line(
+            "rec_longread_throughput", cells8w / dt8w / 1e9, base_scalar,
+            f"mode8 windowed pair B={B8w} W={W8} "
+            f"per-pair={dt8w*1e3:.1f}ms (opt-in engine; full-equivalent "
+            f"cells, reference is full-width)",
+        )
+    except Exception as e:
+        print(f"# mode8 windowed bench failed: {e}", file=sys.stderr)
+
 
 def stretch_bench(line):
     """BASELINE configs[4]: the 1k+ node / 10k-read synthetic corpus,

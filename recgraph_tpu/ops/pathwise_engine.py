@@ -522,6 +522,41 @@ LONG_READ_LP = 1024   # mode-4 reads at least this long use windowed rows
 _pw_w_hint: dict[tuple, int] = {}
 
 
+def _rescore_walk(dirs_b, rows_b, ns, j0, codes, seqc, table, nstart,
+                  covered) -> int:
+    """Exact, plane-independent score of an emitted forward walk.
+
+    Mirrors _walk_pathwise's value chain: on REP lanes the claimed
+    plane value at the walk's start equals the sum of per-step
+    increments down to the first zero-case restart cell (node start
+    whose chosen path has no covered pred — its d/u/l candidates are
+    the literal 0) or the terminal.  On follower lanes the stored
+    (replayed) values do NOT telescope along the recomputed walk, so a
+    mismatch is NOT proof of corruption — the opt-in windowed mode-8
+    path uses this as a CONSERVATIVE acceptance filter (mismatch =>
+    ladder/full-width fallback, never wrong output), which also
+    catches genuinely derailed walks (measured r5).
+    """
+    from ..scoring import GAP as GAPC
+
+    s = 0
+    j = int(j0)
+    for k in range(int(ns)):
+        i = int(rows_b[k])
+        c = int(dirs_b[k])
+        if i > 0 and j > 0 and nstart[i] and not covered[i]:
+            return s
+        if c in (1, 2):
+            s += int(table[codes[i], seqc[j]])
+            j -= 1
+        elif c == 4:
+            s += int(table[codes[i], GAPC])
+        else:
+            s += int(table[GAPC, seqc[j]])
+            j -= 1
+    return s
+
+
 def _graph_hint_key(g, dg) -> tuple:
     """Settled-window-hint key: a real graph+scoring-independent graph
     identity (n alone collided two same-size graphs — ADVICE r4)."""
@@ -774,6 +809,17 @@ def _run_batch_walks_win(sequences, g, dg, table, sm, pred_of_full,
             pk = pack(dirs[:, :kmax], rows[:, :kmax])
             pk, steps, stop_i = jax.device_get((pk, steps, stop_i))
             dirs, rows = unpack_walk(pk)
+            # NOTE (r5, measured): windowed follower-lane cells can
+            # OVER-estimate (rep-chain flips at window edges replay a
+            # different direction), including final-column cells, so a
+            # guard pass is not a proof — the r4 contract (W ladder +
+            # full-width fallback + byte-equality fuzz pinning) stands
+            # as the empirical defence.  An exact walk rescore CANNOT
+            # tighten this: follower plane values do not telescope
+            # along the recomputed walk (replay != max recompute), so
+            # rescoring false-demotes legitimate follower-lane winners
+            # (3/3 on the r5 corpus).  See PERF.md "windowed follower
+            # soundness".
             for b, i_orig in enumerate(idxs):
                 if passed[b]:
                     out[i_orig] = _gaf_from_walk(

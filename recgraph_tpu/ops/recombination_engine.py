@@ -957,13 +957,18 @@ def run_batch(
 
 @functools.partial(jax.jit, static_argnames=("global_mode", "max_steps"))
 def _walk_reverse(plane, seq, L, table, node_start_rev, codes, succ_of_rp,
-                  start_i, start_j, global_mode, max_steps):
+                  start_i, start_j, global_mode, max_steps, ws=None):
     """Reverse-matrix traceback (recombination_output.rs:39-98,:389-449).
 
     Walks from the split point towards the sinks: moves are i -> its
     successor on the chosen path (succ_of_rp, -1 off-path) and j -> j+1;
     rev_seq[j] == seq[j+1].  Emits (dir|flags, row); returns
     rev_ending_node (the i of the last main-loop cell, :481).
+
+    ws (optional, int32[B, n]): per-row window starts for windowed
+    planes (recombination_window) — plane is then [B, n, W] and
+    column j reads plane[b, i, j - ws[b, i]], NEG outside (sound when
+    the composite exit-bound guard passed).
     """
     from ..scoring import GAP as GAPC
 
@@ -972,7 +977,16 @@ def _walk_reverse(plane, seq, L, table, node_start_rev, codes, succ_of_rp,
     bidx = jnp.arange(B)
 
     def at(i, j):
-        return jnp.take_along_axis(pf, (i * Lp + j)[:, None], axis=1)[:, 0]
+        if ws is None:
+            return jnp.take_along_axis(
+                pf, (i * Lp + j)[:, None], axis=1
+            )[:, 0]
+        base = jnp.take_along_axis(ws, i[:, None], axis=1)[:, 0]
+        rel = j - base
+        v = jnp.take_along_axis(
+            pf, (i * Lp + jnp.clip(rel, 0, Lp - 1))[:, None], axis=1
+        )[:, 0]
+        return jnp.where((rel >= 0) & (rel < Lp), v, NEG)
 
     def cond(st):
         it, i, j, k, done, rev_end, dirs, rows = st
@@ -1101,7 +1115,7 @@ def _gaf_rec_from_walks(fw, rv, g, fp, rp, fen, rsn, rev_ending_node,
 
 def run_batch_walks(
     mode, sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw,
-    chunk_bytes=1 << 29,
+    chunk_bytes=1 << 29, no_window=False,
 ) -> list[GafRecord]:
     """Modes 8/9 with on-device traceback (planes stay on device)."""
     from ..graph.pathgraph import pathwise_meta
@@ -1131,6 +1145,36 @@ def run_batch_walks(
 
     records: list[GafRecord] = []
     Lp_all = _align_lp(sequences)
+    # long-read mode 8 can route through the windowed O(W)-lane pair
+    # (ops/recombination_window) — the reference is full-width on BOTH
+    # matrices (pathwise_alignment_recombination.rs:129-435).
+    # OPT-IN (RECGRAPH_REC_WINDOW=1), not default: the split search
+    # reads EVERY plane cell, and windowed follower-replay cells can
+    # both over- and under-estimate (measured r5, PERF.md "windowed
+    # mode-8 soundness"); the exit-bound guard plus the exact
+    # acceptance rescores prevent invalid or mis-scored output, but an
+    # in-window follower underestimate can still hide the reference's
+    # optimum and emit a valid lower-scoring alignment.  Mode 9 has no
+    # windowed variant by design (semiglobal-style endings make the
+    # exit bound vacuous — see recombination_window docstring); the
+    # packed-chain fits gate mirrors run_batch_walks for mode 4.
+    import os as _os
+
+    fits_all = (
+        2 * Lp_all * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+    )
+    if (
+        mode == 8
+        and not no_window
+        and _os.environ.get("RECGRAPH_REC_WINDOW") == "1"
+        and fits_all
+        and Lp_all >= pathwise_engine_mod.LONG_READ_LP
+    ):
+        return _run_batch_walks_win8(
+            sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw,
+            dg, dgr, table, geom, paths_on, pred_f_full, pred_r_full,
+            chunk_bytes,
+        )
     per_read = P * n * Lp_all * 4 * 2
     chunk = max(1, int(chunk_bytes // per_read))
     W = n + Lp_all + 4
@@ -1235,45 +1279,335 @@ def run_batch_walks(
                 (fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps, rev_end)
             )
         )
-        for b, s in enumerate(chunk_seqs):
-            bp = int(fp_final[b])
-            fw_cig, fw_h, fw_ps, fw_len = _walk_pieces(
-                fdirs[b], frows[b], int(fsteps[b]), ids, lnz
+        records.extend(
+            _records_from_rec_walks(
+                chunk_seqs, g, geom, finalcol, start_i, fp_final,
+                rp_final, best, fen, rsn, fdirs, frows, fsteps, fstop,
+                rdirs, rrows, rsteps, rev_end,
             )
-            if fp_final[b] == rp_final[b]:
-                score = int(finalcol[b, bp, start_i[b]])
-                hd, plen, pstart, pend, comments = _record_from_walk(
-                    fdirs[b], frows[b], int(fsteps[b]), int(fstop[b]), g,
-                    bp, int(start_i[b]), score,
-                )
-                # no-rec comments have no path-seq difference: identical
-                records.append(
-                    GafRecord(
-                        query_name="Temp",
-                        query_length=len(s) - 1,
-                        query_start=0,
-                        query_end=len(s) - 2,
-                        strand="+",
-                        path=hd,
-                        path_length=plen,
-                        path_start=pstart,
-                        path_end=pend,
-                        residue_matches_number=0,
-                        alignment_block_length="*",
-                        mapping_quality="*",
-                        comments=comments,
-                    )
-                )
-            else:
-                rv = _walk_pieces(rdirs[b], rrows[b], int(rsteps[b]), ids, lnz)
-                records.append(
-                    _gaf_rec_from_walks(
-                        (fw_cig, fw_h, fw_ps, fw_len, int(fstop[b])),
-                        rv, g, int(fp_final[b]), int(rp_final[b]),
-                        int(fen[b]), int(rsn[b]), int(rev_end[b]),
-                        (float(best[b]),
-                         geom.displacement(int(fen[b]), int(rsn[b]))),
-                        len(s),
-                    )
-                )
+        )
     return records
+
+
+def _records_from_rec_walks(chunk_seqs, g, geom, finalcol, start_i,
+                            fp_final, rp_final, best, fen, rsn,
+                            fdirs, frows, fsteps, fstop,
+                            rdirs, rrows, rsteps, rev_end):
+    """Assemble per-read GafRecords from fetched walk arrays (shared by
+    the full-width and windowed mode-8 paths)."""
+    ids = g.nodes_id_pos
+    lnz = g.lnz
+    out = []
+    for b, s in enumerate(chunk_seqs):
+        bp = int(fp_final[b])
+        fw_cig, fw_h, fw_ps, fw_len = _walk_pieces(
+            fdirs[b], frows[b], int(fsteps[b]), ids, lnz
+        )
+        if fp_final[b] == rp_final[b]:
+            score = int(finalcol[b, bp, start_i[b]])
+            hd, plen, pstart, pend, comments = _record_from_walk(
+                fdirs[b], frows[b], int(fsteps[b]), int(fstop[b]), g,
+                bp, int(start_i[b]), score,
+            )
+            # no-rec comments have no path-seq difference: identical
+            out.append(
+                GafRecord(
+                    query_name="Temp",
+                    query_length=len(s) - 1,
+                    query_start=0,
+                    query_end=len(s) - 2,
+                    strand="+",
+                    path=hd,
+                    path_length=plen,
+                    path_start=pstart,
+                    path_end=pend,
+                    residue_matches_number=0,
+                    alignment_block_length="*",
+                    mapping_quality="*",
+                    comments=comments,
+                )
+            )
+        else:
+            rv = _walk_pieces(rdirs[b], rrows[b], int(rsteps[b]), ids, lnz)
+            out.append(
+                _gaf_rec_from_walks(
+                    (fw_cig, fw_h, fw_ps, fw_len, int(fstop[b])),
+                    rv, g, int(fp_final[b]), int(rp_final[b]),
+                    int(fen[b]), int(rsn[b]), int(rev_end[b]),
+                    (float(best[b]),
+                     geom.displacement(int(fen[b]), int(rsn[b]))),
+                    len(s),
+                )
+            )
+    return out
+
+
+def _rescore_walk_rev(dirs_b, rows_b, ns, j0, codes, seqc, Lr, table,
+                      nstart_r, covered_r, n) -> int:
+    """Exact, plane-independent score of an emitted reverse walk
+    (mirror of pathwise_engine._rescore_walk; rev[j] = seq[j+1] with
+    the SENTINEL at j = L-1, moves go right)."""
+    s = 0
+    j = int(j0)
+    for k in range(int(ns)):
+        i = int(rows_b[k])
+        c = int(dirs_b[k])
+        if 0 < i < n - 1 and j < Lr - 1 and nstart_r[i] and not covered_r[i]:
+            return s
+        rs = int(seqc[j + 1]) if j + 1 < Lr else SENTINEL
+        if c in (1, 2):
+            s += int(table[codes[i], rs])
+            j += 1
+        elif c == 4:
+            s += int(table[codes[i], GAP])
+        else:
+            s += int(table[GAP, rs])
+            j += 1
+    return s
+
+
+def _run_batch_walks_win8(sequences, g, rg, sm, base_rec_cost,
+                          multi_rec_cost, rbw, dg, dgr, table, geom,
+                          paths_on, pred_f_full, pred_r_full,
+                          chunk_bytes) -> list[GafRecord]:
+    """Mode-8 long reads: windowed O(W)-lane fill PAIR with a W ladder.
+
+    Per chunk, fills both matrices at width W, materialises the
+    P-free full-width (max, arg, valid) arrays the split search
+    consumes (recombination_window.full_from_win), runs the UNCHANGED
+    split search, and accepts every read whose combined best STRICTLY
+    beats the composite exit bound (recombination_window.
+    composite_bound) — all cells any optimal solution (no-rec or rec)
+    can visit or tie into are then in-window and exact, so walks over
+    the windowed planes emit byte-identical GAF.  Failures double W;
+    at W >= Lp the read reruns through the exact full-width engine.
+    Memory per read: 2*O(n*P*W) planes + O(n*L) search arrays instead
+    of the reference's 2*O(n*P*L) planes
+    (pathwise_alignment_recombination.rs:129-435).
+    """
+    import sys
+
+    from ..metrics import count_fallback
+    from ..watchdog import progress as _wd_progress
+    from . import recombination_window as rw
+    from .pathwise_engine import (
+        _graph_hint_key, _pick_win_fill, _pw_w_hint,
+    )
+    from .pathwise_window import _final_column_win, _rmin
+
+    n, P = dg.n, dg.paths_number
+    fill_win = _pick_win_fill(dg, table)
+    rmin = jnp.asarray(_rmin(dg))
+    node_start = jnp.asarray(g.node_start)
+    node_start_rev = jnp.asarray(rg.node_start)
+    Lp_all = _align_lp(sequences)
+    smax = jnp.maximum(jnp.max(table), 0)
+    hint_key = _graph_hint_key(g, dg) + ("rec8",)
+    W0 = _pw_w_hint.get(hint_key, 256)
+    if W0 >= Lp_all:
+        W0 = 256
+    max_steps = n + Lp_all + 4
+    # precompute the mode-8 no-rec ending per path (graph-only)
+    end_node_of = np.zeros(P, dtype=np.int32)
+    for node, paths in g.preds_and_paths(g.n - 1):
+        for p in np.flatnonzero(paths):
+            end_node_of[p] = node
+    # host metadata for the exact acceptance rescores
+    pred_f_np = np.asarray(pred_f_full)
+    pred_r_np = np.asarray(pred_r_full)
+    nstart_np = np.asarray(g.node_start)
+    nstart_r_np = np.asarray(rg.node_start)
+    codes_np = np.asarray(g.codes)
+    table_np = np.asarray(table)
+
+    def win_pass(idxs, W):
+        sub = [sequences[i] for i in idxs]
+        seq, L = encode_reads(sub, pad_to=Lp_all)
+        B = seq.shape[0]
+        Awf, wsf, bound_f = fill_win(dg, table, seq, L, W, rmin)
+        Awr, wsr, Rr_d = rw._fill_pathwise_rev_win(dgr, table, seq, L, W)
+        fmax_w, farg_w = _path_argmax(Awf)                 # [B, n, W]
+        rmax_w, rarg_w = _path_argmax(Awr)
+        negf = jnp.full((B, 1, Lp_all), NEG, jnp.int32)
+        zf = jnp.zeros((B, 1, Lp_all), jnp.int32)
+        fmax = rw.full_from_win(fmax_w, wsf, negf)
+        farg = rw.full_from_win(farg_w, wsf, zf)
+        rmax = rw.full_from_win(rmax_w, wsr, negf)
+        rarg = rw.full_from_win(rarg_w, wsr, zf)
+        covered_f = fmax > NEG // 2
+        covered_r = rmax > NEG // 2
+        vf = jnp.take_along_axis(
+            jnp.broadcast_to(paths_on[None], (B, n, P)), farg, axis=2
+        ) & covered_f
+        vr = jnp.take_along_axis(
+            jnp.broadcast_to(paths_on[None], (B, n, P)), rarg, axis=2
+        ) & covered_r
+        # composite exit-bound guard inputs
+        F = jnp.max(fmax[:, 1 : n - 1], axis=1)            # [B, Lp]
+        G = jnp.max(rmax[:, 1 : n - 1], axis=1)
+        Rf_d = bound_f - smax * (L - 1)
+        gbound = rw.composite_bound(F, G, Rf_d, Rr_d, L, smax)
+        gbound = jnp.maximum(gbound, bound_f.astype(jnp.float32))
+
+        finalcol = np.asarray(jax.device_get(_final_column_win(Awf, wsf, L)))
+        init_best = np.zeros(B, dtype=np.float32)
+        base_paths = np.zeros(B, dtype=np.int32)
+        for b in range(B):
+            init_best[b], base_paths[b] = _baseline(8, finalcol[b], g)
+        jcol = np.arange(Lp_all)
+        Lnp = np.asarray(jax.device_get(L))
+        oob = np.maximum((Lnp * (1.0 - rbw) / 2.0).astype(np.int64), 1)
+        active_np = (
+            (jcol[None, :] >= oob[:, None])
+            & (jcol[None, :] < (Lnp - oob)[:, None])
+        )
+        best, taken, fen, rsn, fp, rp, rec_col = _run_split(
+            (
+                fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
+                rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
+            ),
+            geom, active_np, init_best,
+            base_rec_cost, multi_rec_cost, n, Lp_all,
+        )
+        gb_h = np.asarray(jax.device_get(gbound))
+        passed = [float(best[b]) > float(gb_h[b]) for b in range(B)]
+        if any(passed):
+            fp_final = np.where(taken, fp, base_paths)
+            rp_final = np.where(taken, rp, base_paths)
+            start_i = np.zeros(B, dtype=np.int32)
+            start_j = np.zeros(B, dtype=np.int32)
+            for b in range(B):
+                if taken[b]:
+                    start_i[b] = fen[b]
+                    start_j[b] = rec_col[b]
+                else:
+                    start_i[b] = end_node_of[int(fp_final[b])]
+                    start_j[b] = Lnp[b] - 1
+            fp_j = jnp.asarray(fp_final, jnp.int32)
+            rp_j = jnp.asarray(rp_final, jnp.int32)
+            fplane = _extract_plane(Awf, fp_j)             # [B, n, W]
+            rplane = _extract_plane(Awr, rp_j)
+            del Awf, Awr
+            pred_of_bp = jnp.take_along_axis(
+                jnp.broadcast_to(pred_f_full.T[None], (B, P, n)),
+                fp_j[:, None, None], axis=1,
+            )[:, 0]
+            succ_of_rp = jnp.take_along_axis(
+                jnp.broadcast_to(pred_r_full.T[None], (B, P, n)),
+                rp_j[:, None, None], axis=1,
+            )[:, 0]
+            fdirs, frows, fsteps, fstop = _walk_pathwise(
+                fplane, seq, L, table, node_start, dg.codes,
+                pred_of_bp, jnp.asarray(start_i), global_mode=True,
+                max_steps=max_steps, start_j=jnp.asarray(start_j),
+                ws=wsf,
+            )
+            rdirs, rrows, rsteps, rev_end = _walk_reverse(
+                rplane, seq, L, table, node_start_rev, dg.codes,
+                succ_of_rp, jnp.asarray(rsn.astype(np.int32)),
+                jnp.asarray(rec_col.astype(np.int32)),
+                global_mode=True, max_steps=max_steps, ws=wsr,
+            )
+            del fplane, rplane
+            kf = min(
+                max_steps,
+                (int(jax.device_get(fsteps.max())) + 63) // 64 * 64,
+            )
+            kr = min(
+                max_steps,
+                (int(jax.device_get(rsteps.max())) + 63) // 64 * 64,
+            )
+            bidx = jnp.arange(B)
+            fsel_d = fmax[
+                bidx, jnp.asarray(fen, jnp.int32),
+                jnp.asarray(rec_col, jnp.int32),
+            ]
+            rsel_d = rmax[
+                bidx, jnp.asarray(rsn, jnp.int32),
+                jnp.asarray(rec_col, jnp.int32),
+            ]
+            (fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps,
+             rev_end, fsel, rsel) = jax.device_get(
+                (fdirs[:, :kf], frows[:, :kf], fsteps, fstop,
+                 rdirs[:, :kr], rrows[:, :kr], rsteps, rev_end,
+                 fsel_d, rsel_d)
+            )
+            # exact acceptance rescores (follower replay flips can
+            # overestimate windowed cells — a guard pass alone cannot
+            # certify the record; mismatch -> ladder/fallback)
+            from ..metrics import count_fallback as _cf
+            from ..scoring import encode as _encode
+
+            for b in range(len(sub)):
+                if not passed[b]:
+                    continue
+                seqc = _encode(sub[b])
+                Lb = len(sub[b])
+                vf_claim = (
+                    int(fsel[b]) if taken[b]
+                    else int(finalcol[b, int(fp_final[b]), start_i[b]])
+                )
+                vs = pathwise_engine_mod._rescore_walk(
+                    fdirs[b], frows[b], int(fsteps[b]), int(start_j[b]),
+                    codes_np, seqc, table_np, nstart_np,
+                    pred_f_np[:, int(fp_final[b])] >= 0,
+                )
+                ok = vs == vf_claim
+                if ok and taken[b]:
+                    vr = _rescore_walk_rev(
+                        rdirs[b], rrows[b], int(rsteps[b]),
+                        int(rec_col[b]), codes_np, seqc, Lb, table_np,
+                        nstart_r_np, pred_r_np[:, int(rp_final[b])] >= 0,
+                        n,
+                    )
+                    ok = vr == int(rsel[b])
+                if not ok:
+                    passed[b] = False
+                    _cf("rec_win_rescore")
+            recs = _records_from_rec_walks(
+                sub, g, geom, finalcol, start_i, fp_final, rp_final,
+                best, fen, rsn, fdirs, frows, fsteps, fstop,
+                rdirs, rrows, rsteps, rev_end,
+            )
+            for b, i_orig in enumerate(idxs):
+                if passed[b]:
+                    out[i_orig] = recs[b]
+        else:
+            del Awf, Awr
+        return [i for b, i in enumerate(idxs) if not passed[b]]
+
+    out: dict[int, GafRecord] = {}
+    fullwidth_idx: list[int] = []
+    per_read0 = 2 * P * n * min(2 * W0, Lp_all) * 4 + 18 * n * Lp_all
+    chunk = max(1, int(chunk_bytes // per_read0))
+    for c0 in range(0, len(sequences), chunk):
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
+        idxs = list(range(c0, min(c0 + chunk, len(sequences))))
+        W = W0
+        while idxs and W < Lp_all:
+            per_read = 2 * P * n * W * 4 + 18 * n * Lp_all
+            rung = max(1, int(chunk_bytes // per_read))
+            failed: list[int] = []
+            for s0 in range(0, len(idxs), rung):
+                failed.extend(win_pass(idxs[s0 : s0 + rung], W))
+            idxs = failed
+            if not idxs:
+                _pw_w_hint[hint_key] = W
+            W *= 2
+        fullwidth_idx.extend(idxs)
+    if fullwidth_idx:
+        for _ in fullwidth_idx:
+            count_fallback("rec_win_fullwidth")
+        print(
+            f"recgraph: {len(fullwidth_idx)} long read(s) exceeded the "
+            "windowed mode-8 exit bound at every W; running full-width",
+            file=sys.stderr,
+        )
+        sub = [sequences[i] for i in fullwidth_idx]
+        recs = run_batch_walks(
+            8, sub, g, rg, sm, base_rec_cost, multi_rec_cost, rbw,
+            chunk_bytes=chunk_bytes, no_window=True,
+        )
+        for i, rec in zip(fullwidth_idx, recs):
+            out[i] = rec
+    return [out[i] for i in range(len(sequences))]
