@@ -609,48 +609,55 @@ def run_batch_walks(mode, sequences, g, sm, chunk_bytes=None) -> list[GafRecord]
 def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
                           pred_of_full, Lp_all, chunk_bytes) -> list[GafRecord]:
     from ..metrics import phase
+    from .traceback_engine import pack_walk16, pack_walk32, unpack_walk
 
     n, P = dg.n, dg.paths_number
     records = []
     per_read = P * n * Lp_all * 4
     chunk = max(1, int(chunk_bytes // per_read))
     W = n + Lp_all + 4
-    for c0 in range(0, len(sequences), chunk):
-        from ..watchdog import progress as _wd_progress
-        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
-        chunk_seqs = sequences[c0 : c0 + chunk]
-        # keep every chunk the same compiled shape (trailing chunk pads
-        # with read 0; the emit loop below runs over chunk_seqs only)
-        pad_n = chunk - len(chunk_seqs) if c0 > 0 else 0
-        enc_seqs = chunk_seqs + [chunk_seqs[0]] * pad_n
-        with phase("encode"):
-            seq, L = encode_reads(enc_seqs, pad_to=Lp_all)
-        fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+    fits = 2 * Lp_all * int(np.abs(np.asarray(table)).max()) < (1 << 16)
+    node_start = jnp.asarray(g.node_start)
+    # walks batch across fill chunks: each walk iteration is
+    # latency-bound (~B-independent [B]-gathers on the plane), so one
+    # walk over 4 chunks' extracted planes costs ~1/4 the wall of four
+    # chunk-sized walks (r5 stretch: mode-4 device_wait was ~30 s of
+    # walk at chunk=100).  Budget: extracted planes are P-free
+    # (n * Lp * 4 bytes/read).
+    walk_budget = (
+        (1 << 30) if jax.default_backend() == "tpu" else (1 << 28)
+    )
+    walk_batch = max(1, int(walk_budget // (n * Lp_all * 4)))
+    pend: list = []   # (chunk_seqs, seq, L, planes, bp, node, score)
+    pend_reads = 0
+
+    def flush():
+        nonlocal pend, pend_reads
+        if not pend:
+            return
         with phase("dispatch"):
-            # the whole chunk — fill, endings, plane extraction, walk —
-            # stays on device; the host sees only the compact packed
-            # walk + per-read scalars at the end (2 round trips/chunk)
-            A = fill_pathwise_best(dg, table, seq, semiglobal, fits)
-            fc = _final_column(A, L)
-            if semiglobal:
-                bp_d, node_d, sc_d = _endings_semiglobal_dev(
-                    fc, dg.paths_on.T
-                )
+            if len(pend) == 1:
+                seqs_h, seq, L, planes, bp_d, node_d, sc_d = pend[0]
             else:
-                bp_d, node_d, sc_d = _endings_global_dev(fc, *_end_meta(g))
-            planes = _extract_plane(A, bp_d)
+                seqs_h = [s2 for t in pend for s2 in t[0]]
+                seq = jnp.concatenate([t[1] for t in pend], axis=0)
+                L = jnp.concatenate([t[2] for t in pend], axis=0)
+                planes = jnp.concatenate([t[3] for t in pend], axis=0)
+                bp_d = jnp.concatenate([t[4] for t in pend], axis=0)
+                node_d = jnp.concatenate([t[5] for t in pend], axis=0)
+                sc_d = jnp.concatenate([t[6] for t in pend], axis=0)
+            pend = []
+            pend_reads = 0
+            B = seq.shape[0]
             pred_of_bp = jnp.take_along_axis(
-                jnp.broadcast_to(pred_of_full.T[None], (seq.shape[0], P, n)),
+                jnp.broadcast_to(pred_of_full.T[None], (B, P, n)),
                 bp_d[:, None, None], axis=1,
             )[:, 0]
             dirs, rows, steps, stop_i = _walk_pathwise(
-                planes, seq, L, table, jnp.asarray(g.node_start),
+                planes, seq, L, table, node_start,
                 dg.codes, pred_of_bp, node_d,
                 global_mode=not semiglobal, max_steps=W,
             )
-        del A, planes
-        from .traceback_engine import pack_walk16, pack_walk32, unpack_walk
-
         with phase("device_wait"):
             kmax = min(W, (int(jax.device_get(steps.max())) + 63) // 64 * 64)
         pack = pack_walk16 if n <= 2048 else pack_walk32
@@ -661,7 +668,7 @@ def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
             )
         dirs, rows = unpack_walk(pk)
         with phase("emit"):
-            for b, s in enumerate(chunk_seqs):
+            for b, s in enumerate(seqs_h):
                 handle_dedup, path_len, path_start, path_end, comments = (
                     _record_from_walk(
                         dirs[b], rows[b], int(steps[b]), int(stop_i[b]), g,
@@ -685,6 +692,39 @@ def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
                         comments=comments,
                     )
                 )
+
+    for c0 in range(0, len(sequences), chunk):
+        from ..watchdog import progress as _wd_progress
+        _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
+        chunk_seqs = sequences[c0 : c0 + chunk]
+        # keep every chunk the same compiled shape (trailing chunk pads
+        # with read 0; padded lanes are sliced off before the walk)
+        pad_n = chunk - len(chunk_seqs) if c0 > 0 else 0
+        enc_seqs = chunk_seqs + [chunk_seqs[0]] * pad_n
+        with phase("encode"):
+            seq, L = encode_reads(enc_seqs, pad_to=Lp_all)
+        with phase("dispatch"):
+            # fill + endings + plane extraction stay on device; the
+            # walk runs later over a multi-chunk batch
+            A = fill_pathwise_best(dg, table, seq, semiglobal, fits)
+            fc = _final_column(A, L)
+            if semiglobal:
+                bp_d, node_d, sc_d = _endings_semiglobal_dev(
+                    fc, dg.paths_on.T
+                )
+            else:
+                bp_d, node_d, sc_d = _endings_global_dev(fc, *_end_meta(g))
+            planes = _extract_plane(A, bp_d)
+        del A
+        nb = len(chunk_seqs)
+        pend.append((
+            chunk_seqs, seq[:nb], L[:nb], planes[:nb], bp_d[:nb],
+            node_d[:nb], sc_d[:nb],
+        ))
+        pend_reads += nb
+        if pend_reads + chunk > walk_batch:
+            flush()
+    flush()
     return records
 
 

@@ -1115,11 +1115,18 @@ def _gaf_rec_from_walks(fw, rv, g, fp, rp, fen, rsn, rev_ending_node,
 
 def run_batch_walks(
     mode, sequences, g, rg, sm, base_rec_cost, multi_rec_cost, rbw,
-    chunk_bytes=1 << 29, no_window=False,
+    chunk_bytes=None, no_window=False,
 ) -> list[GafRecord]:
     """Modes 8/9 with on-device traceback (planes stay on device)."""
     from ..graph.pathgraph import pathwise_meta
 
+    if chunk_bytes is None:
+        # 2 GB of plane pairs per chunk on TPU (16 GB HBM; bigger
+        # chunks amortise per-chunk link latency and keep the Pallas
+        # fills at useful batch tiles); 512 MB elsewhere
+        chunk_bytes = (
+            1 << 31 if jax.default_backend() == "tpu" else 1 << 29
+        )
     dg = path_device_graph(g)
     try:
         dgr = rev_device_graph(rg)
