@@ -625,7 +625,7 @@ def _run_batch_walks_full(sequences, g, dg, table, sm, semiglobal,
     # walk at chunk=100).  Budget: extracted planes are P-free
     # (n * Lp * 4 bytes/read).
     walk_budget = (
-        (1 << 30) if jax.default_backend() == "tpu" else (1 << 28)
+        (1 << 31) if jax.default_backend() == "tpu" else (1 << 28)
     )
     walk_batch = max(1, int(walk_budget // (n * Lp_all * 4)))
     pend: list = []   # (chunk_seqs, seq, L, planes, bp, node, score)
