@@ -636,8 +636,12 @@ def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
 
     # different reads peak at different columns, so the needed-column
     # union grows with the batch; sub-batching keeps it near the
-    # per-read count (~1-3 on the example corpus)
-    SB = 4
+    # per-read count (~1-3 on the example corpus).  Each sub-batch
+    # costs ~4-8 host round trips (ub fetch + summarize rounds), so on
+    # the remote-tunnel backend a LARGER sub-batch wins (r5 phase
+    # profile: split 3.6 s/chunk at SB=4 was RTT-bound); keep the
+    # compute-lean SB=4 where the link is local.
+    SB = 16 if jax.default_backend() == "tpu" else 4
     if B > SB:
         outs = [
             _run_split_guided(
@@ -664,10 +668,14 @@ def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
     Tc = I if plane <= (1 << 28) else max(
         128, ((1 << 28) // (4 * B * I)) // 128 * 128
     )
-    key = (I, Tc, _SUMMARY_K)
+    # more columns per device round on the remote-tunnel backend: each
+    # round costs a link RTT (~25-50 ms), which dominates the modest
+    # extra plane work of a wider summary
+    K = 64 if jax.default_backend() == "tpu" else _SUMMARY_K
+    key = (I, Tc, K)
     summarize = _summary_cache.get(key)
     if summarize is None:
-        summarize = _col_summary_fn(I, Tc, _SUMMARY_K)
+        summarize = _col_summary_fn(I, Tc, K)
         _summary_cache[key] = summarize
     dfs_j = jnp.asarray(geom.dfs_i.astype(np.float32))
     dfe_j = jnp.asarray(geom.dfe_i.astype(np.float32))
@@ -688,8 +696,8 @@ def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
         if len(idx) == 0:
             break
         prio = (ub[:, idx] - thresh[:, None]).max(axis=0)
-        take = idx[np.argsort(-prio)[: _SUMMARY_K]]
-        cols = np.zeros(_SUMMARY_K, np.int32)
+        take = idx[np.argsort(-prio)[:K]]
+        cols = np.zeros(K, np.int32)
         cols[: len(take)] = take
         cm, ea, fe, fp_ = (
             np.asarray(jax.device_get(x))
@@ -735,13 +743,14 @@ def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
         win_k = np.where(take, kk, win_k)
     if taken.any():
         # winner paths: farg/rarg at the taken (row, column) per read
+        # (one combined fetch: each device_get costs a link RTT)
         bidx = jnp.arange(B)
-        fpo = np.asarray(jax.device_get(
-            farg[bidx, jnp.asarray(win_i), jnp.asarray(col)]
-        ))
-        rpo = np.asarray(jax.device_get(
-            rarg[bidx, jnp.asarray(win_k), jnp.asarray(col)]
-        ))
+        fpo, rpo = (
+            np.asarray(x) for x in jax.device_get((
+                farg[bidx, jnp.asarray(win_i), jnp.asarray(col)],
+                rarg[bidx, jnp.asarray(win_k), jnp.asarray(col)],
+            ))
+        )
         fpo = np.where(taken, fpo, 0).astype(np.int32)
         rpo = np.where(taken, rpo, 0).astype(np.int32)
     return best, taken, fen, rsn, fpo, rpo, col
@@ -862,21 +871,28 @@ def run_batch(
     for c0 in range(0, len(sequences), chunk):
         from ..watchdog import progress as _wd_progress
         _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
+        from ..metrics import phase
+
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
-        seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
+        with phase("encode"):
+            seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
-        Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
-        Ar = pathwise_engine_mod.fill_pathwise_rev_best(
-            dgr, table, seq, L, mode == 8, fits
-        )
+        with phase("dispatch"):
+            Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
+            Ar = pathwise_engine_mod.fill_pathwise_rev_best(
+                dgr, table, seq, L, mode == 8, fits
+            )
+            fc_d = _final_column(Af, L)
 
         Bp = seq.shape[0]  # >= B when a data-parallel mesh pads the batch
-        finalcol = np.asarray(jax.device_get(_final_column(Af, L)))
+        with phase("device_wait"):
+            finalcol = np.asarray(jax.device_get(fc_d))
         init_best = np.zeros(Bp, dtype=np.float32)
         base_paths = np.zeros(Bp, dtype=np.int32)
-        for b in range(B):
-            init_best[b], base_paths[b] = _baseline(mode, finalcol[b], g)
+        with phase("host_tb"):
+            for b in range(B):
+                init_best[b], base_paths[b] = _baseline(mode, finalcol[b], g)
 
         fmax, farg = _path_argmax(Af)
         rmax, rarg = _path_argmax(Ar)
@@ -1188,21 +1204,28 @@ def run_batch_walks(
     for c0 in range(0, len(sequences), chunk):
         from ..watchdog import progress as _wd_progress
         _wd_progress()  # chunk-level heartbeat (wedged-tunnel watchdog)
+        from ..metrics import phase
+
         chunk_seqs = sequences[c0 : c0 + chunk]
         B = len(chunk_seqs)
-        seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
+        with phase("encode"):
+            seq, L = encode_reads(chunk_seqs, pad_to=Lp_all)
         fits = 2 * seq.shape[1] * int(np.abs(np.asarray(table)).max()) < (1 << 16)
-        Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
-        Ar = pathwise_engine_mod.fill_pathwise_rev_best(
-            dgr, table, seq, L, mode == 8, fits
-        )
+        with phase("dispatch"):
+            Af = fill_pathwise_best(dg, table, seq, mode == 9, fits)
+            Ar = pathwise_engine_mod.fill_pathwise_rev_best(
+                dgr, table, seq, L, mode == 8, fits
+            )
+            fc_d = _final_column(Af, L)
 
         Bp = seq.shape[0]  # >= B when a data-parallel mesh pads the batch
-        finalcol = np.asarray(jax.device_get(_final_column(Af, L)))
+        with phase("device_wait"):
+            finalcol = np.asarray(jax.device_get(fc_d))
         init_best = np.zeros(Bp, dtype=np.float32)
         base_paths = np.zeros(Bp, dtype=np.int32)
-        for b in range(B):
-            init_best[b], base_paths[b] = _baseline(mode, finalcol[b], g)
+        with phase("host_tb"):
+            for b in range(B):
+                init_best[b], base_paths[b] = _baseline(mode, finalcol[b], g)
 
         fmax, farg = _path_argmax(Af)
         rmax, rarg = _path_argmax(Ar)
@@ -1218,14 +1241,15 @@ def run_batch_walks(
         active_np = (
             (jcol[None, :] >= oob[:, None]) & (jcol[None, :] < (Lnp - oob)[:, None])
         )
-        best, taken, fen, rsn, fp, rp, rec_col = _run_split(
-            (
-                fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
-                rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
-            ),
-            geom, active_np, init_best,
-            base_rec_cost, multi_rec_cost, n, seq.shape[1],
-        )
+        with phase("split"):
+            best, taken, fen, rsn, fp, rp, rec_col = _run_split(
+                (
+                    fmax[:, 1 : n - 1], farg[:, 1 : n - 1], vf[:, 1 : n - 1],
+                    rmax[:, 1 : n - 1], rarg[:, 1 : n - 1], vr[:, 1 : n - 1],
+                ),
+                geom, active_np, init_best,
+                base_rec_cost, multi_rec_cost, n, seq.shape[1],
+            )
         fp_final = np.where(taken, fp, base_paths)
         rp_final = np.where(taken, rp, base_paths)
 
@@ -1281,18 +1305,19 @@ def run_batch_walks(
         kr = min(W, (int(jax.device_get(rsteps.max())) + 255) // 256 * 256)
         fdirs, frows = fdirs[:, :kf], frows[:, :kf]
         rdirs, rrows = rdirs[:, :kr], rrows[:, :kr]
-        fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps, rev_end = (
-            jax.device_get(
+        with phase("fetch"):
+            (fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps,
+             rev_end) = jax.device_get(
                 (fdirs, frows, fsteps, fstop, rdirs, rrows, rsteps, rev_end)
             )
-        )
-        records.extend(
-            _records_from_rec_walks(
-                chunk_seqs, g, geom, finalcol, start_i, fp_final,
-                rp_final, best, fen, rsn, fdirs, frows, fsteps, fstop,
-                rdirs, rrows, rsteps, rev_end,
+        with phase("emit"):
+            records.extend(
+                _records_from_rec_walks(
+                    chunk_seqs, g, geom, finalcol, start_i, fp_final,
+                    rp_final, best, fen, rsn, fdirs, frows, fsteps,
+                    fstop, rdirs, rrows, rsteps, rev_end,
+                )
             )
-        )
     return records
 
 
