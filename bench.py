@@ -736,10 +736,9 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
         rg = pg.reverse()
         rdg = recombination_engine.rev_device_graph(rg)
         # production chunk size: run_batch_walks holds 2 planes of
-        # [chunk, P, n, Lp] under its 1<<31 TPU budget (r4 used a fixed
-        # B=16, ~4x below what production dispatches)
+        # [chunk, P, n, Lp] under its 1<<29 budget
         Lp8 = pathwise_engine._align_lp(reads[:128])
-        B8 = int(max(16, min(128, (1 << 31) // (P * pdg.n * Lp8 * 4 * 2))))
+        B8 = int(max(8, min(128, (1 << 29) // (P * pdg.n * Lp8 * 4 * 2))))
         seq8, L8 = encode_reads(reads[:B8], pad_to=Lp8)
         cells8 = 2 * B8 * pdg.n * seq8.shape[1] * P
 

@@ -1137,12 +1137,12 @@ def run_batch_walks(
     from ..graph.pathgraph import pathwise_meta
 
     if chunk_bytes is None:
-        # 2 GB of plane pairs per chunk on TPU (16 GB HBM; bigger
-        # chunks amortise per-chunk link latency and keep the Pallas
-        # fills at useful batch tiles); 512 MB elsewhere
-        chunk_bytes = (
-            1 << 31 if jax.default_backend() == "tpu" else 1 << 29
-        )
+        # 512 MB of plane pairs per chunk: measured FASTER than 2 GB
+        # chunks on the healthy tunnel (~16-read batches keep the
+        # reverse Pallas fill at its tuned tile; B=34 ran at 430 vs
+        # 549 reads/s for the pair) — the per-chunk link latency the
+        # bigger chunk would amortise is dwarfed by the split phase
+        chunk_bytes = 1 << 29
     dg = path_device_graph(g)
     try:
         dgr = rev_device_graph(rg)
