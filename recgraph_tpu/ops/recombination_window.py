@@ -63,20 +63,8 @@ from .recombination_engine import SENTINEL, _suffix_cummax
 NEG = -(1 << 28)
 
 
-def _lmin_rev(dgr) -> np.ndarray:
-    """min over on-lanes of the path length remaining BEFORE row i on
-    the reverse graph traversal (rows i..n-1): the reverse analogue of
-    pathwise_window._rmin, used only for window placement (the guard
-    carries correctness)."""
-    on = np.asarray(dgr.paths_on, dtype=bool)              # [n, P]
-    pos = np.cumsum(on[::-1], axis=0)[::-1]                # rows of p >= i
-    rrem = np.where(on, pos - 1, 1 << 28)
-    r = rrem.min(axis=1)
-    return np.minimum(r, 1 << 27).astype(np.int32)
-
-
 @functools.partial(jax.jit, static_argnames=("W",))
-def _fill_pathwise_rev_win(dgr, table, seq, L, W, lmin=None):
+def _fill_pathwise_rev_win(dgr, table, seq, L, W):
     """Windowed mode-8 reverse fill (mirror of recombination_engine.
     _fill_pathwise_rev, mode8=True).
 
