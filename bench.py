@@ -807,12 +807,17 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
         else:
             # timed: 10x-duplicated corpus, so per-run fixed costs
             # (trace, cache loads) amortise like a production corpus
+            from recgraph_tpu import metrics as _m8
+
             src = open(reads_fa).read()
             big = tempfile.mktemp(suffix=".fa")
             with open(big, "w") as fh:
                 for rep in range(10):
                     fh.write(src.replace(">", f">r{rep}_"))
+            _m8.reset_phases()
+            _m8._compile_secs[0] = _m8._cache_load_secs[0] = 0.0
             dte = rec_run(big)
+            phases8 = _m8.phases_dict()
             n8 = sum(1 for ln in open(big) if ln.startswith(">"))
             os.unlink(big)
             # scalar-CPU baseline estimate: measured C++ scalar fill
@@ -828,9 +833,11 @@ def main(batch: int = 512, iters: int = 3, headline_only: bool = False) -> None:
                 "unit": "reads/s",
                 "vs_baseline": round(n8 / dte / base8, 2),
                 "device": dev,
+                "phases": phases8,
             }))
             print(f"# mode8 e2e: {n8} reads {dte:.2f}s wall "
-                  f"(-R 10 -r 2 -B 0.5), golden-checked", file=sys.stderr)
+                  f"(-R 10 -r 2 -B 0.5), golden-checked; phases "
+                  f"{phases8}", file=sys.stderr)
     except Exception as e:
         print(f"# mode8 e2e bench failed: {e}", file=sys.stderr)
 
