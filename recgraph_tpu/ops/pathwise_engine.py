@@ -445,13 +445,20 @@ def _walk_pathwise(plane, seq, L, table, node_start, codes, pred_of_bp,
         k = k + emit.astype(jnp.int32)
         return it + 1, i_new, j_new, k, done_new, dirs, rows
 
+    def body2(st):
+        # 2 steps per loop iteration: the step is ~20 tiny [B]-vector
+        # ops whose fixed per-op cost dominates at these batch sizes,
+        # and halving the iteration count halves that overhead
+        # (mode-4 walks are ~n+L steps)
+        return body(body(st))
+
     z = jnp.zeros((B,), jnp.int32)
-    dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
-    rows0 = jnp.zeros((B, max_steps), jnp.int32)
+    dirs0 = jnp.full((B, max_steps + 8), -1, jnp.int32)
+    rows0 = jnp.zeros((B, max_steps + 8), jnp.int32)
     j0 = (L - 1) if start_j is None else start_j
     st = (jnp.int32(0), ending_node, j0, z, jnp.zeros((B,), bool), dirs0,
           rows0)
-    _, i, j, k, done, dirs, rows = jax.lax.while_loop(cond, body, st)
+    _, i, j, k, done, dirs, rows = jax.lax.while_loop(cond, body2, st)
     return dirs, rows, k, i
 
 

@@ -595,7 +595,7 @@ def _col_summary_fn(I, Tc, K):
 
 
 def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
-                      multi_rec_cost, I, Lp):
+                      multi_rec_cost, I, Lp, ub_pre=None):
     """Bound-guided EXACT split search.
 
     The 4-sign upper bound (``_column_ub``) is measured near-tight
@@ -634,11 +634,30 @@ def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
     fmax, farg, vf, rmax, rarg, vr = inputs
     B = active_np.shape[0]
 
+    if ub_pre is None:
+        # ONE bound fetch for the whole batch (a device_get costs a
+        # link round trip; computing it per sub-batch doubled the RTT
+        # count of the whole search)
+        r = np.float32(multi_rec_cost)
+        signs = np.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], np.float32)
+        d = np.stack([geom.dfs_i, geom.dfe_i]).astype(np.float32)
+        wf = jnp.asarray(-(r * signs @ d))
+        wr = jnp.asarray(r * signs @ d)
+        ub = np.asarray(
+            jax.device_get(_column_ub(fmax, vf, rmax, vr, wf, wr))
+        )
+        ub = ub - np.float32(base_rec_cost)
+        ub = np.where(active_np, ub, -np.inf)              # [B, Lp]
+        ub[:, :1] = -np.inf
+        ub[:, Lp - 1 :] = -np.inf
+    else:
+        ub = ub_pre
+
     # different reads peak at different columns, so the needed-column
     # union grows with the batch; sub-batching keeps it near the
     # per-read count (~1-3 on the example corpus).  Each sub-batch
-    # costs ~4-8 host round trips (ub fetch + summarize rounds), so on
-    # the remote-tunnel backend a LARGER sub-batch wins (r5 phase
+    # costs several host round trips (summarize rounds), so on the
+    # remote-tunnel backend a LARGER sub-batch wins (r5 phase
     # profile: split 3.6 s/chunk at SB=4 was RTT-bound); keep the
     # compute-lean SB=4 where the link is local.
     SB = 16 if jax.default_backend() == "tpu" else 4
@@ -648,21 +667,11 @@ def _run_split_guided(inputs, geom, active_np, init_best, base_rec_cost,
                 tuple(x[b0 : b0 + SB] for x in inputs), geom,
                 active_np[b0 : b0 + SB], init_best[b0 : b0 + SB],
                 base_rec_cost, multi_rec_cost, I, Lp,
+                ub_pre=ub[b0 : b0 + SB],
             )
             for b0 in range(0, B, SB)
         ]
         return tuple(np.concatenate(parts) for parts in zip(*outs))
-
-    r = np.float32(multi_rec_cost)
-    signs = np.array([[1, 1], [1, -1], [-1, 1], [-1, -1]], np.float32)
-    d = np.stack([geom.dfs_i, geom.dfe_i]).astype(np.float32)
-    wf = jnp.asarray(-(r * signs @ d))
-    wr = jnp.asarray(r * signs @ d)
-    ub = np.asarray(jax.device_get(_column_ub(fmax, vf, rmax, vr, wf, wr)))
-    ub = ub - np.float32(base_rec_cost)
-    ub = np.where(active_np, ub, -np.inf)                  # [B, Lp]
-    ub[:, :1] = -np.inf
-    ub[:, Lp - 1 :] = -np.inf
 
     plane = 4 * B * I * I
     Tc = I if plane <= (1 << 28) else max(
@@ -1053,13 +1062,17 @@ def _walk_reverse(plane, seq, L, table, node_start_rev, codes, succ_of_rp,
         k = k + emit.astype(jnp.int32)
         return it + 1, i_new, j_new, k, done_new, rev_end, dirs, rows
 
+    def body2(st):
+        # 2 steps/iteration (see pathwise_engine._walk_pathwise)
+        return body(body(st))
+
     z = jnp.zeros((B,), jnp.int32)
-    dirs0 = jnp.full((B, max_steps), -1, jnp.int32)
-    rows0 = jnp.zeros((B, max_steps), jnp.int32)
+    dirs0 = jnp.full((B, max_steps + 8), -1, jnp.int32)
+    rows0 = jnp.zeros((B, max_steps + 8), jnp.int32)
     st = (jnp.int32(0), start_i, start_j, z, jnp.zeros((B,), bool),
           start_i, dirs0, rows0)
     _, i, j, k, done, rev_end, dirs, rows = jax.lax.while_loop(
-        cond, body, st
+        cond, body2, st
     )
     return dirs, rows, k, rev_end
 
